@@ -1,0 +1,215 @@
+"""Deterministic synthetic web generator (FIXTURES.md).
+
+Stands in for HTTP in the sandbox (SURVEY.md §2 O6): the "web" is a
+``pages`` table with image+caption payloads (BASELINE.json input_hint
+schema exactly: image_id, bytes, w, h, fmt, caption, phash — plus crawl
+plumbing columns url/url_hash/host/out_links and the oracle-side
+``pixels_ref``). Pure function of its parameters; numpy
+``default_rng(seed)`` with a fixed call order → bit-identical
+regeneration (required by golden tests and checkpoint/resume parity).
+
+Host distribution is Zipf(s) so hot-host skew is present in every
+fixture — the reference's politeness bottleneck (one fetch per host per
+min-delay; pegasus ``src/pegasus/queue.clj``, symbol cite per SURVEY.md
+§0) and our skew-salting both get exercised.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from . import codec
+from .hashing import xxhash64_str
+
+_WORDS = (
+    "amber basalt cedar delta ember fjord garnet harbor iris juniper "
+    "kestrel lumen mesa nectar onyx prairie quartz raven sierra tundra"
+).split()
+
+
+@dataclass(frozen=True)
+class WebParams:
+    seed: int = 42
+    n_pages: int = 1000
+    n_hosts: int = 20
+    fanout: float = 3.0
+    zipf_s: float = 1.2
+    lossy_frac: float = 0.5
+    img_min: int = 8
+    img_max: int = 32
+    disallow_host_frac: float = 0.1
+    crawl_delay_host_frac: float = 0.2
+    n_seeds: int = 3
+    extra: dict = field(default_factory=dict, compare=False)
+
+    def tag(self) -> str:
+        return (
+            f"s{self.seed}_p{self.n_pages}_h{self.n_hosts}_f{self.fanout}"
+            f"_z{self.zipf_s}_l{self.lossy_frac}_i{self.img_min}-{self.img_max}"
+            f"_d{self.disallow_host_frac}_c{self.crawl_delay_host_frac}_sd{self.n_seeds}"
+        )
+
+
+def _zipf_host_assignment(rng: np.random.Generator, n_pages: int, n_hosts: int, s: float) -> np.ndarray:
+    w = 1.0 / np.arange(1, n_hosts + 1, dtype=np.float64) ** s
+    w /= w.sum()
+    return rng.choice(n_hosts, size=n_pages, p=w)
+
+
+def _make_pixels(rng: np.random.Generator, w: int, h: int) -> np.ndarray:
+    """Structured (compressible) image: 2-D gradient + coarse noise."""
+    gx = np.linspace(0, 255, w)
+    gy = np.linspace(0, 255, h)
+    base = (gy[:, None] * 0.5 + gx[None, :] * 0.5)
+    img = np.empty((h, w, 3), dtype=np.float64)
+    phase = rng.uniform(0, 2 * np.pi, size=3)
+    amp = rng.uniform(20, 80, size=3)
+    coarse = rng.integers(0, 40, size=(-(-h // 4), -(-w // 4), 3)).astype(np.float64)
+    coarse = np.kron(coarse, np.ones((4, 4, 1)))[:h, :w, :]
+    for c in range(3):
+        img[:, :, c] = base * np.cos(phase[c]) ** 2 + amp[c] + coarse[:, :, c]
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def _caption(rng: np.random.Generator, image_id: str) -> str:
+    k = int(rng.integers(4, 9))
+    ws = rng.choice(len(_WORDS), size=k)
+    return f"caption {image_id} :: " + " ".join(_WORDS[i] for i in ws)
+
+
+def generate_web(p: WebParams) -> dict[str, pd.DataFrame]:
+    """Build ``pages``, ``seeds``, ``robots_txt`` pandas DataFrames."""
+    rng = np.random.default_rng(p.seed)
+    hosts = [f"h{k}.example" for k in range(p.n_hosts)]
+    host_idx = _zipf_host_assignment(rng, p.n_pages, p.n_hosts, p.zipf_s)
+    urls = [f"http://{hosts[host_idx[i]]}/p/{i}" for i in range(p.n_pages)]
+    url_hash = np.fromiter((xxhash64_str(u) for u in urls), dtype=np.int64)
+
+    dims = rng.integers(p.img_min, p.img_max + 1, size=(p.n_pages, 2))
+    lossy = rng.random(p.n_pages) < p.lossy_frac
+    n_links = rng.poisson(p.fanout, size=p.n_pages)
+
+    rows: dict[str, list] = {
+        "bytes": [], "fmt": [], "caption": [], "phash": [],
+        "out_links": [], "pixels_ref": [],
+    }
+    for i in range(p.n_pages):
+        w, h = int(dims[i, 0]), int(dims[i, 1])
+        px = _make_pixels(rng, w, h)
+        fmt = "qnt" if lossy[i] else "png"
+        image_id = f"img-{int(url_hash[i]) & 0xFFFFFFFFFFFFFFFF:016x}"
+        rows["bytes"].append(codec.encode(px, fmt))
+        rows["fmt"].append(fmt)
+        rows["caption"].append(_caption(rng, image_id))
+        rows["phash"].append(codec.phash(px))
+        rows["pixels_ref"].append(px.tobytes())
+        # out-links in varied surface forms to exercise canonicalization
+        targets = rng.integers(0, p.n_pages, size=n_links[i])
+        forms = rng.integers(0, 6, size=n_links[i])
+        links: list[str] = []
+        for t, f in zip(targets, forms):
+            t = int(t)
+            th = hosts[host_idx[t]]
+            same_host = host_idx[t] == host_idx[i]
+            if f == 1:
+                links.append(f"http://{th.upper()}/p/{t}")
+            elif f == 2:
+                links.append(f"http://{th}:80/p/{t}")
+            elif f == 3:
+                links.append(f"http://{th}/p/{t}#frag{t}")
+            elif f == 4 and same_host:
+                links.append(f"../p/{t}")
+            elif f == 5 and same_host:
+                links.append(f"/p/{t}")
+            else:
+                links.append(f"http://{th}/p/{t}")
+        rows["out_links"].append(links)
+
+    pages = pd.DataFrame({
+        "url": urls,
+        "url_hash": url_hash,
+        "host": [hosts[k] for k in host_idx],
+        "image_id": [f"img-{int(uh) & 0xFFFFFFFFFFFFFFFF:016x}" for uh in url_hash],
+        "bytes": rows["bytes"],
+        "w": dims[:, 0].astype(np.int32),
+        "h": dims[:, 1].astype(np.int32),
+        "fmt": rows["fmt"],
+        "caption": rows["caption"],
+        "phash": np.array(rows["phash"], dtype=np.int64),
+        "out_links": rows["out_links"],
+        "pixels_ref": rows["pixels_ref"],
+    })
+
+    # robots: deterministic per-host rules
+    r_crawl_delay: list = []
+    r_rules: list = []
+    deny_all_host = 0 if p.n_hosts > 3 else -1  # h0 never (it's the hot host) …
+    deny_all_host = p.n_hosts - 1 if p.n_hosts > 3 else -1  # … use the coldest
+    for k in range(p.n_hosts):
+        rules = [{"allow": True, "prefix": "/"}]
+        if k == deny_all_host:
+            rules = [{"allow": False, "prefix": "/"}]
+        elif rng.random() < p.disallow_host_frac:
+            digit = int(rng.integers(0, 10))
+            rules.append({"allow": False, "prefix": f"/p/{digit}"})
+        delay = None
+        if rng.random() < p.crawl_delay_host_frac:
+            delay = int(rng.integers(2, 5)) * 1000
+        r_crawl_delay.append(delay)
+        r_rules.append(rules)
+    robots = pd.DataFrame({
+        "host": hosts,
+        "crawl_delay_ms": pd.array(r_crawl_delay, dtype="Int64"),
+        "rules": r_rules,
+    })
+
+    # seeds: non-canonical surface forms of real pages, spread across hosts
+    seed_pages = rng.choice(p.n_pages, size=min(p.n_seeds, p.n_pages), replace=False)
+    seed_urls = []
+    for j, t in enumerate(seed_pages):
+        t = int(t)
+        th = hosts[host_idx[t]]
+        if j % 3 == 1:
+            seed_urls.append(f"http://{th.upper()}:80/p/{t}#top")
+        elif j % 3 == 2:
+            seed_urls.append(f"http://{th}/p/../p/{t}")
+        else:
+            seed_urls.append(f"http://{th}/p/{t}")
+    seeds = pd.DataFrame({"url": seed_urls, "priority": np.zeros(len(seed_urls), dtype=np.int32)})
+    return {"pages": pages, "seeds": seeds, "robots_txt": robots}
+
+
+_ROBOTS_ARROW = pa.schema([
+    ("host", pa.string()),
+    ("crawl_delay_ms", pa.int64()),
+    ("rules", pa.list_(pa.struct([("allow", pa.bool_()), ("prefix", pa.string())]))),
+])
+
+
+def write_web(tables: dict[str, pd.DataFrame], out_dir: str) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    for name, df in tables.items():
+        if name == "robots_txt":
+            t = pa.Table.from_pandas(df, schema=_ROBOTS_ARROW, preserve_index=False)
+        else:
+            t = pa.Table.from_pandas(df, preserve_index=False)
+        pq.write_table(t, os.path.join(out_dir, f"{name}.parquet"))
+
+
+def materialize(p: WebParams, base_dir: str) -> str:
+    """Generate-once cache: write the fixture under ``base_dir/<tag>``."""
+    out = os.path.join(base_dir, p.tag())
+    marker = os.path.join(out, "_COMPLETE")
+    if os.path.exists(marker):
+        return out
+    tables = generate_web(p)
+    write_web(tables, out)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out
