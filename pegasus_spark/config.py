@@ -1,0 +1,64 @@
+"""Crawl configuration + pluggable stage protocol (SURVEY.md §2 O15).
+
+Mirrors shriphani/pegasus's config-map keys (``:seeds :user-agent
+:corpus-size :min-delay-ms :extractor :writer :stop-check`` — README /
+``src/pegasus/defaults.clj``, symbol cites per SURVEY.md §0) and its
+``PipelineComponentProtocol`` (``initialize/run/clean``, ``src/pegasus/
+process.clj``): users swap any stage by passing a :class:`Stage` whose
+``apply`` maps DataFrame → DataFrame; stages are folded into the single
+per-round Catalyst plan, so a custom stage costs nothing extra.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class Stage:
+    """initialize/run/clean ≡ setup/apply/teardown."""
+
+    name = "stage"
+
+    def setup(self, spark: SparkSession, cfg: "CrawlConfig") -> None:  # noqa: D401
+        pass
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        raise NotImplementedError
+
+    def teardown(self) -> None:
+        pass
+
+
+@dataclass
+class CrawlConfig:
+    # where the synthetic web lives (pages/seeds/robots_txt parquet — the
+    # sandbox stand-in for HTTP, SURVEY.md §2 O6)
+    web_dir: str
+    # durable state root (frontier/seen/corpus/metrics tables + checkpoints)
+    job_dir: str
+    seeds: Optional[list[str]] = None  # default: read <web_dir>/seeds.parquet
+    user_agent: str = "pegasus-spark/0.1"
+    corpus_size: Optional[int] = None  # None → crawl to frontier exhaustion
+    min_delay_ms: int = 2000
+    round_width_vt: Optional[int] = None  # default 8×min_delay_ms
+    max_rounds: int = 10_000
+    # seen-set sizing
+    seen_parts: int = 8
+    bloom_bits_per_part: int = 1 << 20
+    bloom_k: int = 5
+    bloom_overflow_rebuild: int = 4096
+    # skew: the fetch/decode stage shuffles on host_bucket, not host
+    host_buckets: int = 32
+    validate_payloads: bool = True
+    # plug points (pegasus :extractor / :writer / :stop-check analogues)
+    extractor: Optional[Stage] = None
+    pre_enqueue: Optional[Stage] = None
+    stop_check: Optional[Callable[[int, int, bool], bool]] = None
+    extra: dict = field(default_factory=dict)
+
+    @property
+    def round_width(self) -> int:
+        return self.round_width_vt or 8 * self.min_delay_ms

@@ -1,0 +1,131 @@
+"""Driver loop — the public API (SURVEY.md §3.1).
+
+``crawl(spark, CrawlConfig)`` is the analogue of the reference's single
+public entry point ``(pegasus.core/crawl config)`` (``src/pegasus/
+core.clj`` — symbol cite per SURVEY.md §0): config in, bounded polite
+crawl out. Differences by design: the steady-state is a *driver loop of
+batch rounds* (each round = one DataFrame job, checkpointed, resumable)
+instead of a continuously-running channel topology; durability comes
+from versioned-table snapshots instead of durable-queue slabs + LMDB.
+
+Stop conditions (O13): ``visited ≥ corpus_size`` (with deterministic
+final-round truncation) or frontier exhaustion — pegasus's
+corpus-size/num-visited stop semantics.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+
+from .config import CrawlConfig
+from .robots import allowed_filter, load_crawl_delays, load_rules
+from .round import (
+    CORPUS_DDL,
+    FRONTIER_DDL,
+    HOSTS_DDL,
+    METRICS_DDL,
+    RoundContext,
+    inject_seeds,
+    run_round,
+)
+from .seen import SeenSet
+from .tables import CheckpointStore, ManifestCatalog
+from .fetch import load_pages
+
+TABLES = ["frontier", "corpus", "hosts", "metrics", "seen", "bloom"]
+
+
+@dataclass
+class CrawlResult:
+    rounds: int
+    visited: int
+    stop_reason: str  # "corpus_size" | "exhausted" | "max_rounds"
+    round_stats: list = field(default_factory=list)
+
+
+def _make_ctx(spark: SparkSession, cfg: CrawlConfig) -> tuple[RoundContext, CheckpointStore]:
+    cat = ManifestCatalog(spark, cfg.job_dir)
+    cat.create("frontier", FRONTIER_DDL)
+    cat.create("corpus", CORPUS_DDL)
+    cat.create("hosts", HOSTS_DDL)
+    cat.create("metrics", METRICS_DDL)
+    seen = SeenSet(
+        cat,
+        n_parts=cfg.seen_parts,
+        m_bits=cfg.bloom_bits_per_part,
+        k=cfg.bloom_k,
+        overflow_rebuild=cfg.bloom_overflow_rebuild,
+    )
+    robots_path = f"{cfg.web_dir}/robots_txt.parquet"
+    rules = load_rules(spark, robots_path)
+    ctx = RoundContext(
+        spark, cat, seen, cfg,
+        pages=load_pages(spark, cfg.web_dir),
+        allowed_udf=allowed_filter(spark, rules),
+        crawl_delays=load_crawl_delays(spark, robots_path),
+    )
+    if cfg.extractor is not None:
+        cfg.extractor.setup(spark, cfg)
+    if cfg.pre_enqueue is not None:
+        cfg.pre_enqueue.setup(spark, cfg)
+    return ctx, CheckpointStore(cfg.job_dir)
+
+
+def crawl(spark: SparkSession, cfg: CrawlConfig, resume: bool = False) -> CrawlResult:
+    ctx, ckpt = _make_ctx(spark, cfg)
+    cat = ctx.cat
+
+    start_round = 0
+    visited = 0
+    stats: list[dict] = []
+
+    latest = ckpt.latest() if resume else None
+    if latest is not None:
+        if latest.get("stopped"):
+            return CrawlResult(
+                rounds=latest["round"] + 1, visited=latest["visited"],
+                stop_reason=latest["reason"],
+            )
+        # roll tables back to the last fully-committed round, continue
+        cat.restore(latest["versions"])
+        start_round = latest["round"] + 1
+        visited = latest["visited"]
+    else:
+        if cfg.seeds is not None:
+            seeds_df = spark.createDataFrame(
+                [(u, 0) for u in cfg.seeds], "url string, priority int"
+            )
+        else:
+            seeds_df = spark.read.parquet(f"{cfg.web_dir}/seeds.parquet")
+        inject_seeds(ctx, seeds_df)
+        ckpt.save(-1, {"versions": cat.snapshot(TABLES), "visited": 0, "stopped": False})
+
+    stop_reason = "max_rounds"
+    r = start_round
+    while r < cfg.max_rounds:
+        st = run_round(ctx, r, visited)
+        stats.append(st)
+        visited += st["fetched"]
+        stopped = False
+        if st["exhausted"]:
+            stop_reason, stopped = "exhausted", True
+        elif cfg.corpus_size is not None and visited >= cfg.corpus_size:
+            stop_reason, stopped = "corpus_size", True
+        elif cfg.stop_check is not None and cfg.stop_check(r, visited, st["exhausted"]):
+            stop_reason, stopped = "stop_check", True
+        ckpt.save(r, {
+            "versions": cat.snapshot(TABLES), "visited": visited,
+            "stopped": stopped, "reason": stop_reason if stopped else None,
+            "stats": {k: v for k, v in st.items() if k != "round"},
+        })
+        r += 1
+        if stopped:
+            break
+
+    for stage in (cfg.extractor, cfg.pre_enqueue):
+        if stage is not None:
+            stage.teardown()
+    return CrawlResult(rounds=r - start_round, visited=visited,
+                       stop_reason=stop_reason, round_stats=stats)

@@ -1,0 +1,247 @@
+"""One crawl round as ONE DataFrame dataflow (SURVEY.md §3.1).
+
+shriphani/pegasus wires its stages as core.async channels (visited/robots
+filters → fetch → extract → write → enqueue; ``src/pegasus/core.clj``
+crawl — symbol cite per SURVEY.md §0). Here the whole stage list folds
+into a single Catalyst plan per round; channels' pipelining/backpressure
+becomes whole-stage codegen + bounded rounds (SURVEY.md §2 O16).
+
+Physical design notes (the 100 TB story):
+- exactly two data-sized shuffles per round: the per-host politeness
+  window and the enqueue dedup aggregation; the robots gate is a
+  broadcast-side pandas UDF, the seen check is bloom-prefiltered,
+  the fetch/decode re-shuffle is on the *salted* host_bucket;
+- the frontier is append-only (no rewrite churn): "pending" is
+  recomputed as frontier ⟕̸ corpus (anti-join on url_hash) — on Iceberg
+  both sides are bucketed by url_hash so this is a co-partitioned join;
+- metrics are appended per round with a per-bucket breakdown
+  (per-partition lineage + metrics per the north rule).
+"""
+
+from __future__ import annotations
+
+import time
+
+import pandas as pd
+import pyarrow as pa
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
+
+from . import politeness
+from .canon import resolve_canonicalize
+from .config import CrawlConfig
+from .fetch import fetch_and_validate
+from .robots import path_of
+from .seen import SeenSet
+from .tables import ManifestCatalog
+
+FRONTIER_DDL = (
+    "url string, url_hash long, host string, priority int, "
+    "discovered_round int, src_url_hash long"
+)
+CORPUS_DDL = (
+    "image_id string, bytes binary, w int, h int, fmt string, caption string, "
+    "phash long, url string, url_hash long, host string, fetch_round int, "
+    "fetch_vt long, valid boolean, psnr double"
+)
+HOSTS_DDL = "host string, next_vt long"
+METRICS_DDL = (
+    "round int, part_id int, fetched long, enqueued long, dropped_seen long, "
+    "dropped_robots long, deferred long, wall_ms long"
+)
+METRICS_ARROW = pa.schema([
+    ("round", pa.int32()), ("part_id", pa.int32()), ("fetched", pa.int64()),
+    ("enqueued", pa.int64()), ("dropped_seen", pa.int64()),
+    ("dropped_robots", pa.int64()), ("deferred", pa.int64()), ("wall_ms", pa.int64()),
+])
+
+
+def _metrics_table(rows: list[tuple]) -> pa.Table:
+    cols = list(zip(*rows)) if rows else [[] for _ in METRICS_ARROW.names]
+    return pa.Table.from_arrays(
+        [pa.array(list(c), type=f.type) for c, f in zip(cols, METRICS_ARROW)],
+        schema=METRICS_ARROW,
+    )
+
+
+from pyspark.sql.types import StringType
+
+
+@F.pandas_udf(StringType())
+def _canon_udf(base: pd.Series, href: pd.Series) -> pd.Series:
+    return resolve_canonicalize(base, href)
+
+
+def canonicalize_links(df: DataFrame, base_col: str = "base_url", href_col: str = "href") -> DataFrame:
+    """href resolved+canonicalized → ``url``, hashed JVM-side → ``url_hash``,
+    ``host`` extracted JVM-side. Non-crawlable hrefs dropped."""
+    return (
+        df.withColumn("url", _canon_udf(F.col(base_col), F.col(href_col)))
+        .filter(F.col("url").isNotNull())
+        .withColumn("url_hash", F.xxhash64("url"))
+        .withColumn("host", F.parse_url("url", F.lit("HOST")))
+    )
+
+
+def dedupe_candidates(links: DataFrame) -> DataFrame:
+    """Within-batch dedup (O10): one row per url_hash; the winning parent
+    is min (parent_priority, src_url_hash) — deterministic lineage."""
+    return (
+        links.groupBy("url_hash")
+        .agg(
+            F.min("url").alias("url"),
+            F.min("host").alias("host"),
+            F.min(F.struct("parent_priority", "src_url_hash")).alias("_p"),
+        )
+        .select(
+            "url_hash", "url", "host",
+            (F.col("_p.parent_priority") + F.lit(1)).cast("int").alias("priority"),
+            F.col("_p.src_url_hash").alias("src_url_hash"),
+        )
+    )
+
+
+class RoundContext:
+    """Per-crawl immutable helpers shared across rounds."""
+
+    def __init__(self, spark: SparkSession, cat: ManifestCatalog, seen: SeenSet,
+                 cfg: CrawlConfig, pages: DataFrame, allowed_udf, crawl_delays: DataFrame):
+        self.spark = spark
+        self.cat = cat
+        self.seen = seen
+        self.cfg = cfg
+        self.pages = pages
+        self.allowed = allowed_udf
+        self.crawl_delays = crawl_delays
+
+
+def enqueue_new(ctx: RoundContext, cand: DataFrame, discovered_round: int) -> tuple[int, int, int]:
+    """Robots-gate, seen-gate, append to frontier+seen.
+    Returns (n_enqueued, dropped_robots, dropped_seen)."""
+    flagged = cand.withColumn(
+        "allowed", ctx.allowed(F.col("host"), path_of(F.col("url")))
+    ).persist()
+    counts = flagged.agg(
+        F.count("*").alias("n"), F.sum(F.col("allowed").cast("long")).alias("n_allowed")
+    ).collect()[0]
+    n_uniq, n_allowed = int(counts["n"]), int(counts["n_allowed"] or 0)
+    new = ctx.seen.filter_new(flagged.filter("allowed").drop("allowed")).persist()
+    n_new = new.count()
+    if n_new:
+        rows = new.select(
+            "url", "url_hash", "host", "priority",
+            F.lit(discovered_round).cast("int").alias("discovered_round"),
+            "src_url_hash",
+        )
+        ctx.cat.append("frontier", rows)
+        ctx.seen.add(new.select("url_hash"))
+    flagged.unpersist(); new.unpersist()
+    return n_new, n_uniq - n_allowed, n_allowed - n_new
+
+
+def inject_seeds(ctx: RoundContext, seeds: DataFrame) -> tuple[int, int, int]:
+    """O1: canonicalize seed URLs and enqueue at depth 0, round 0."""
+    links = seeds.select(
+        F.col("url").alias("base_url"),
+        F.col("url").alias("href"),
+        (F.col("priority") - F.lit(1)).alias("parent_priority"),  # so +1 = seed priority
+        F.lit(None).cast("long").alias("src_url_hash"),
+    )
+    cand = dedupe_candidates(canonicalize_links(links))
+    return enqueue_new(ctx, cand, discovered_round=0)
+
+
+def run_round(ctx: RoundContext, r: int, visited_total: int) -> dict:
+    """Execute crawl round r. Returns the round's stats dict."""
+    t_start = time.monotonic()
+    cfg = ctx.cfg
+    W = cfg.round_width
+    round_start, round_end = r * W, (r + 1) * W
+
+    frontier = ctx.cat.read("frontier")
+    fetched_hashes = ctx.cat.read("corpus").select("url_hash")
+    pending = frontier.join(fetched_hashes, "url_hash", "left_anti").join(
+        F.broadcast(ctx.crawl_delays), "host", "left"
+    )
+    host_state = ctx.cat.read("hosts")
+
+    sched = politeness.schedule(
+        pending, host_state, round_start, round_end, cfg.min_delay_ms
+    ).persist()
+    cnt = sched.agg(
+        F.count("*").alias("n"), F.sum(F.col("selected").cast("long")).alias("n_sel")
+    ).collect()[0]
+    n_pending, n_sel = int(cnt["n"]), int(cnt["n_sel"] or 0)
+    if n_pending == 0:
+        sched.unpersist()
+        wall_ms = int((time.monotonic() - t_start) * 1000)
+        ctx.cat.append_local("metrics", _metrics_table([(r, -1, 0, 0, 0, 0, 0, wall_ms)]))
+        return {"round": r, "fetched": 0, "enqueued": 0, "dropped_seen": 0,
+                "dropped_robots": 0, "deferred": 0, "exhausted": True,
+                "capped": False, "wall_ms": wall_ms}
+
+    selected = sched.filter("selected")
+    capped = False
+    if cfg.corpus_size is not None and visited_total + n_sel > cfg.corpus_size:
+        remaining = cfg.corpus_size - visited_total
+        # deterministic final-round truncation in global fetch order (O13)
+        selected = selected.orderBy("fetch_vt", "url_hash").limit(remaining)
+        n_sel = remaining
+        capped = True
+
+    # --- fetch + validate (salted by host_bucket) ---
+    fetched = fetch_and_validate(
+        selected, ctx.pages, cfg.host_buckets, cfg.validate_payloads
+    ).persist()
+
+    # per-bucket lineage counts ride the corpus write via observe():
+    # no extra job for the per-partition metrics breakdown
+    obs = Observation(f"round-{r}")
+    bucket_aggs = [
+        F.sum(F.when(F.col("host_bucket") == i, 1).otherwise(0)).alias(f"b{i}")
+        for i in range(cfg.host_buckets)
+    ]
+    corpus_rows = fetched.observe(obs, *bucket_aggs).select(
+        "image_id", "bytes", "w", "h", "fmt", "caption", "phash",
+        "url", "url_hash", "host",
+        F.lit(r).cast("int").alias("fetch_round"),
+        "fetch_vt", "valid", "psnr",
+    )
+    ctx.cat.append("corpus", corpus_rows)
+    bucket_counts = obs.get
+
+    # --- extract → canonicalize → dedupe → gates → enqueue ---
+    n_enq = dropped_robots = dropped_seen = 0
+    if not capped:  # pegasus stops consuming docs once corpus-size trips
+        links = fetched.filter(F.col("out_links").isNotNull()).select(
+            F.col("url").alias("base_url"),
+            F.col("priority").alias("parent_priority"),
+            F.col("url_hash").alias("src_url_hash"),
+            F.explode("out_links").alias("href"),
+        )
+        extractor = cfg.extractor
+        if extractor is not None:
+            links = extractor.apply(links)
+        cand = dedupe_candidates(canonicalize_links(links))
+        if cfg.pre_enqueue is not None:
+            cand = cfg.pre_enqueue.apply(cand)
+        n_enq, dropped_robots, dropped_seen = enqueue_new(ctx, cand, discovered_round=r + 1)
+
+    # --- host clocks advance ---
+    new_hosts = politeness.next_host_state(selected, host_state)
+    ctx.cat.overwrite("hosts", new_hosts)
+
+    # --- metrics: rollup row + per-bucket lineage rows ---
+    wall_ms = int((time.monotonic() - t_start) * 1000)
+    mrows = [(r, -1, n_sel, n_enq, dropped_seen, dropped_robots,
+              n_pending - n_sel, wall_ms)] + [
+        (r, i, int(bucket_counts[f"b{i}"] or 0), 0, 0, 0, 0, 0)
+        for i in range(cfg.host_buckets)
+        if int(bucket_counts[f"b{i}"] or 0) > 0
+    ]
+    ctx.cat.append_local("metrics", _metrics_table(mrows))
+
+    fetched.unpersist(); sched.unpersist()
+    return {"round": r, "fetched": n_sel, "enqueued": n_enq,
+            "dropped_seen": dropped_seen, "dropped_robots": dropped_robots,
+            "deferred": n_pending - n_sel, "exhausted": False,
+            "capped": capped, "wall_ms": wall_ms}

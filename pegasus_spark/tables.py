@@ -1,0 +1,198 @@
+"""Versioned table catalog — Iceberg semantics, parquet+manifest backend.
+
+The north rule targets Iceberg tables (BASELINE.json). The sandbox has no
+Iceberg runtime jar and no network to fetch one (SURVEY.md §7), so this
+module provides the same *semantics* behind one interface:
+
+- ``append`` / ``overwrite`` are atomic commits producing a new table
+  version (manifest-JSON swap via ``os.replace`` — atomic on POSIX),
+- every version is retained → snapshot isolation + time travel, which is
+  what makes any crawl round resumable (SURVEY.md §2 O14; the reference
+  gets durability from durable-queue slab files + LMDB under ``:job-dir``,
+  shriphani/pegasus ``src/pegasus/cache.clj`` — symbol cite per SURVEY.md §0),
+- readers always see the last committed version; a crash mid-append
+  leaves only orphan data dirs, never a torn table.
+
+On a real cluster, swap ``ManifestCatalog`` for an Iceberg catalog:
+``df.writeTo(name).append()`` and ``CALL rollback_to_snapshot`` map 1:1
+to ``append``/``restore``. Data dirs are written by Spark executors in
+parallel (the manifest only lists directories), so nothing here funnels
+rows through the driver — it scales to 10^10-row tables; the manifest
+grows by one path per commit, not per file.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+
+
+class ManifestCatalog:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # ---- paths -----------------------------------------------------
+    def _tdir(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def _mdir(self, name: str) -> str:
+        return os.path.join(self._tdir(name), "_manifest")
+
+    def _mpath(self, name: str, version: int) -> str:
+        return os.path.join(self._mdir(name), f"v{version:06d}.json")
+
+    # ---- lifecycle -------------------------------------------------
+    def create(self, name: str, schema_ddl: str) -> None:
+        """Create an empty table (version 0). Idempotent."""
+        if self.exists(name):
+            return
+        os.makedirs(self._mdir(name), exist_ok=True)
+        os.makedirs(os.path.join(self._tdir(name), "data"), exist_ok=True)
+        self._commit(name, {"version": 0, "schema_ddl": schema_ddl, "dirs": [], "parent": None})
+
+    def exists(self, name: str) -> bool:
+        return os.path.exists(os.path.join(self._mdir(name), "CURRENT"))
+
+    def _manifest(self, name: str, version: int | None = None) -> dict:
+        if version is None:
+            version = self.current_version(name)
+        with open(self._mpath(name, version)) as f:
+            return json.load(f)
+
+    def current_version(self, name: str) -> int:
+        with open(os.path.join(self._mdir(name), "CURRENT")) as f:
+            return int(f.read().strip())
+
+    def _commit(self, name: str, manifest: dict) -> int:
+        v = manifest["version"]
+        mp = self._mpath(name, v)
+        tmp = mp + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, mp)
+        cur = os.path.join(self._mdir(name), "CURRENT")
+        tmp2 = cur + ".tmp"
+        with open(tmp2, "w") as f:
+            f.write(str(v))
+        os.replace(tmp2, cur)
+        return v
+
+    # ---- I/O -------------------------------------------------------
+    def read(self, name: str, version: int | None = None) -> DataFrame:
+        m = self._manifest(name, version)
+        if not m["dirs"]:
+            return self.spark.createDataFrame([], m["schema_ddl"])
+        return self.spark.read.schema(m["schema_ddl"]).parquet(*m["dirs"])
+
+    def _write_data(self, name: str, df: DataFrame) -> str:
+        d = os.path.join(self._tdir(name), "data", uuid.uuid4().hex)
+        df.write.mode("errorifexists").parquet(d)
+        return d
+
+    def append(self, name: str, df: DataFrame) -> int:
+        """Atomic append commit → new version id."""
+        m = self._manifest(name)
+        d = self._write_data(name, df)
+        return self._commit(name, {
+            "version": m["version"] + 1,
+            "schema_ddl": m["schema_ddl"],
+            "dirs": m["dirs"] + [d],
+            "parent": m["version"],
+        })
+
+    def overwrite(self, name: str, df: DataFrame) -> int:
+        """Atomic replace commit (full-table overwrite) → new version id."""
+        m = self._manifest(name)
+        d = self._write_data(name, df)
+        return self._commit(name, {
+            "version": m["version"] + 1,
+            "schema_ddl": m["schema_ddl"],
+            "dirs": [d],
+            "parent": m["version"],
+        })
+
+    # ---- driver-local commits (no Spark job) -------------------------
+    # For DRIVER-KNOWN small data only (per-round metrics rows, bloom
+    # partition rows — O(P) by design): writing them via a Spark job
+    # costs a full scheduler round-trip for a few KB. pyarrow writes the
+    # same parquet, the manifest commit is identical.
+    def _write_local(self, name: str, table: "pa.Table") -> str:
+        d = os.path.join(self._tdir(name), "data", uuid.uuid4().hex)
+        os.makedirs(d)
+        pq.write_table(table, os.path.join(d, "part-00000.parquet"))
+        return d
+
+    def append_local(self, name: str, table: "pa.Table") -> int:
+        m = self._manifest(name)
+        d = self._write_local(name, table)
+        return self._commit(name, {
+            "version": m["version"] + 1, "schema_ddl": m["schema_ddl"],
+            "dirs": m["dirs"] + [d], "parent": m["version"],
+        })
+
+    def overwrite_local(self, name: str, table: "pa.Table") -> int:
+        m = self._manifest(name)
+        d = self._write_local(name, table)
+        return self._commit(name, {
+            "version": m["version"] + 1, "schema_ddl": m["schema_ddl"],
+            "dirs": [d], "parent": m["version"],
+        })
+
+    # ---- snapshots (resume) ----------------------------------------
+    def snapshot(self, names: list[str]) -> dict[str, int]:
+        return {n: self.current_version(n) for n in names}
+
+    def restore(self, versions: dict[str, int]) -> None:
+        """Roll CURRENT pointers back to a snapshot (time travel).
+        Versions after the snapshot remain on disk but unreachable —
+        matching Iceberg rollback semantics."""
+        for n, v in versions.items():
+            if not os.path.exists(self._mpath(n, v)):
+                raise ValueError(f"table {n} has no version {v}")
+            cur = os.path.join(self._mdir(n), "CURRENT")
+            tmp = cur + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(str(v))
+            os.replace(tmp, cur)
+
+
+class CheckpointStore:
+    """Per-round crawl checkpoints: {round → table snapshot + counters}.
+
+    One JSON per round + an atomically-swapped CURRENT pointer. The
+    checkpoint is written AFTER all table commits for the round, so a
+    crash at any point resumes from the last fully-committed round
+    (SURVEY.md §4.2 item 4)."""
+
+    def __init__(self, root: str):
+        self.dir = os.path.join(root, "_checkpoints")
+        os.makedirs(self.dir, exist_ok=True)
+
+    def path(self, rnd: int) -> str:
+        return os.path.join(self.dir, f"r{rnd:06d}.json")
+
+    def save(self, rnd: int, state: dict) -> None:
+        tmp = self.path(rnd) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"round": rnd, **state}, f)
+        os.replace(tmp, self.path(rnd))
+        cur = os.path.join(self.dir, "CURRENT")
+        with open(cur + ".tmp", "w") as f:
+            f.write(str(rnd))
+        os.replace(cur + ".tmp", cur)
+
+    def latest(self) -> dict | None:
+        cur = os.path.join(self.dir, "CURRENT")
+        if not os.path.exists(cur):
+            return None
+        with open(cur) as f:
+            rnd = int(f.read().strip())
+        with open(self.path(rnd)) as f:
+            return json.load(f)

@@ -1,0 +1,182 @@
+"""Pure-Python pegasus-semantics simulator (SURVEY.md §5.2).
+
+Single-threaded reimplementation of the crawl specification — per-host
+FIFO with virtual-time min-delay pacing, robots gate, enqueued-ever seen
+set, corpus-size / frontier-exhaustion stop — producing golden outputs
+(fetch order, visited set, per-round metrics) that the Spark engine must
+reproduce exactly. This is how the reference's "same crawl ordering and
+final visited-set" criterion (BASELINE.json north_rule; pegasus's
+corpus-size/num-visited crawl tests) is made testable at all: the
+deterministic virtual-time politeness model is the spec BOTH
+implementations follow (pegasus's own wall-clock thread interleaving is
+not reproducible even by pegasus).
+
+No Spark imports. Shares only the canonicalization + robots-match +
+hash primitives with the engine so both sides agree on *string-level*
+semantics while implementing the *scheduling* independently.
+"""
+
+from __future__ import annotations
+
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from collections import defaultdict
+from dataclasses import dataclass, field
+
+import pandas as pd
+
+from pegasus_spark.canon import canonicalize_one, host_of
+from pegasus_spark.hashing import xxhash64_str
+from pegasus_spark.robots import allowed_one
+
+
+def _path_of(url: str) -> str:
+    rest = url.split("://", 1)[1]
+    i = rest.find("/")
+    return rest[i:] if i >= 0 else "/"
+
+
+@dataclass
+class SimResult:
+    order: list = field(default_factory=list)  # (seq, round, url_hash, fetch_vt)
+    visited: set = field(default_factory=set)  # fetched url_hashes
+    seen: set = field(default_factory=set)     # ever-enqueued url_hashes
+    metrics: list = field(default_factory=list)
+    rounds: int = 0
+    stop_reason: str = "max_rounds"
+
+
+def simulate(
+    web: dict[str, pd.DataFrame],
+    min_delay_ms: int = 2000,
+    round_width: int | None = None,
+    corpus_size: int | None = None,
+    max_rounds: int = 10_000,
+    seeds: list[str] | None = None,
+) -> SimResult:
+    W = round_width or 8 * min_delay_ms
+    pages = web["pages"]
+    by_hash = {
+        int(r.url_hash): r for r in pages.itertuples(index=False)
+    }
+    rules: dict[str, list[tuple[bool, str]]] = {}
+    delays: dict[str, int] = {}
+    for r in web["robots_txt"].itertuples(index=False):
+        rs = [(x["allow"], x["prefix"]) for x in (r.rules or [])]
+        rs.sort(key=lambda t: len(t[1]), reverse=True)
+        rules[r.host] = rs
+        if r.crawl_delay_ms is not None and not pd.isna(r.crawl_delay_ms):
+            delays[r.host] = int(r.crawl_delay_ms)
+
+    def eff_delay(host: str) -> int:
+        return max(min_delay_ms, delays.get(host, 0))
+
+    res = SimResult()
+    # frontier: url_hash → (priority, discovered_round, host, url)
+    frontier: dict[int, tuple[int, int, str, str]] = {}
+    host_next_vt: dict[str, int] = defaultdict(int)
+
+    def enqueue_batch(cands: list[tuple[str, int, int | None]], disc_round: int) -> tuple[int, int, int]:
+        """cands = [(canonical_url, parent_priority, src_hash)]; returns
+        (enqueued, dropped_robots, dropped_seen). Mirrors round.py
+        dedupe_candidates + enqueue_new exactly."""
+        best: dict[int, tuple[int, int | None, str]] = {}
+        for curl, pprio, src in cands:
+            h = xxhash64_str(curl)
+            key = (pprio, src if src is not None else -(1 << 63))
+            if h not in best or key < (best[h][0], best[h][1] if best[h][1] is not None else -(1 << 63)):
+                best[h] = (pprio, src, curl)
+        n_uniq = len(best)
+        allowed = {}
+        for h, (pprio, src, curl) in best.items():
+            host = curl.split("://", 1)[1].split("/", 1)[0].split(":")[0]
+            if allowed_one(rules, host, _path_of(curl)):
+                allowed[h] = (pprio, src, curl, host)
+        dropped_robots = n_uniq - len(allowed)
+        new = {h: v for h, v in allowed.items() if h not in res.seen}
+        dropped_seen = len(allowed) - len(new)
+        for h, (pprio, src, curl, host) in new.items():
+            frontier[h] = (pprio + 1, disc_round, host, curl)
+            res.seen.add(h)
+        return len(new), dropped_robots, dropped_seen
+
+    # --- seed injection (O1): parent_priority = seed_priority - 1 ---
+    if seeds is None:
+        seed_rows = [(r.url, int(r.priority)) for r in web["seeds"].itertuples(index=False)]
+    else:
+        seed_rows = [(u, 0) for u in seeds]
+    seed_cands = []
+    for url, prio in seed_rows:
+        c = canonicalize_one(url, url)
+        if c is not None:
+            seed_cands.append((c, prio - 1, None))
+    enqueue_batch(seed_cands, disc_round=0)
+
+    # --- rounds ---
+    seq = 0
+    for r in range(max_rounds):
+        res.rounds = r + 1
+        round_start, round_end = r * W, (r + 1) * W
+        pendings = [h for h in frontier if h not in res.visited]
+        if not pendings:
+            res.rounds = r + 1
+            res.stop_reason = "exhausted"
+            res.metrics.append({"round": r, "fetched": 0, "enqueued": 0,
+                                "dropped_seen": 0, "dropped_robots": 0, "deferred": 0})
+            return res
+
+        by_host: dict[str, list[int]] = defaultdict(list)
+        for h in pendings:
+            by_host[frontier[h][2]].append(h)
+
+        selected: list[tuple[int, int]] = []  # (fetch_vt, url_hash)
+        for host, hs in by_host.items():
+            hs.sort(key=lambda x: (frontier[x][0], frontier[x][1], x))
+            d = eff_delay(host)
+            t0 = max(round_start, host_next_vt[host])
+            for i, h in enumerate(hs):
+                vt = t0 + i * d
+                if vt < round_end:
+                    selected.append((vt, h))
+                else:
+                    break
+        selected.sort()
+        n_pending = len(pendings)
+        capped = False
+        if corpus_size is not None and len(res.visited) + len(selected) > corpus_size:
+            selected = selected[: corpus_size - len(res.visited)]
+            capped = True
+
+        # advance host clocks from the (possibly truncated) selection
+        last_per_host: dict[str, int] = {}
+        for vt, h in selected:
+            last_per_host[frontier[h][2]] = vt
+        for host, vt in last_per_host.items():
+            host_next_vt[host] = max(host_next_vt[host], vt + eff_delay(host))
+
+        link_cands: list[tuple[str, int, int]] = []
+        for vt, h in selected:
+            res.order.append((seq, r, h, vt))
+            seq += 1
+            res.visited.add(h)
+            page = by_hash.get(h)
+            if page is not None and not capped:
+                prio = frontier[h][0]
+                base = page.url
+                for href in page.out_links:
+                    c = canonicalize_one(base, href)
+                    if c is not None:
+                        link_cands.append((c, prio, h))
+        n_enq = dr = ds = 0
+        if not capped and link_cands:
+            n_enq, dr, ds = enqueue_batch(link_cands, disc_round=r + 1)
+        res.metrics.append({
+            "round": r, "fetched": len(selected), "enqueued": n_enq,
+            "dropped_seen": ds, "dropped_robots": dr,
+            "deferred": n_pending - len(selected),
+        })
+        if corpus_size is not None and len(res.visited) >= corpus_size:
+            res.stop_reason = "corpus_size"
+            return res
+    return res

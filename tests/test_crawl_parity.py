@@ -1,0 +1,86 @@
+"""Crawl-ordering / visited-set / metrics parity vs the pure-Python oracle
+(SURVEY.md §5.2 — the reference's corpus-size/num-visited crawl tests)."""
+
+import shutil
+import tempfile
+
+import pytest
+
+from pegasus_spark.config import CrawlConfig
+from pegasus_spark.crawl import crawl
+from pegasus_spark.fixtures import WebParams, generate_web, write_web
+from pegasus_spark.tables import ManifestCatalog
+
+from oracle import simulate
+
+SCENARIOS = {
+    # FIXTURES.md §5 scenario matrix (sizes trimmed for CI wall-clock)
+    "smoke": dict(params=WebParams(seed=42, n_pages=100, n_hosts=5, fanout=3.0, n_seeds=3),
+                  corpus_size=50),
+    "exhaustion": dict(params=WebParams(seed=7, n_pages=300, n_hosts=20, fanout=2.0, n_seeds=5),
+                       corpus_size=None),
+    "corpus-cap": dict(params=WebParams(seed=9, n_pages=400, n_hosts=10, fanout=4.0, n_seeds=3),
+                       corpus_size=120),
+    "hot-host": dict(params=WebParams(seed=11, n_pages=300, n_hosts=8, zipf_s=2.5,
+                                      fanout=3.0, n_seeds=4),
+                     corpus_size=100),
+    "robots-heavy": dict(params=WebParams(seed=13, n_pages=250, n_hosts=10,
+                                          disallow_host_frac=0.5, fanout=3.0, n_seeds=4),
+                         corpus_size=None),
+}
+
+
+def _run_engine(spark, web_dir, job_dir, corpus_size, **cfg_kw):
+    cfg = CrawlConfig(web_dir=web_dir, job_dir=job_dir, corpus_size=corpus_size,
+                      seen_parts=4, **cfg_kw)
+    res = crawl(spark, cfg)
+    cat = ManifestCatalog(spark, job_dir)
+    corpus = cat.read("corpus").toPandas().sort_values(
+        ["fetch_round", "fetch_vt", "url_hash"]).reset_index(drop=True)
+    seen = {r["url_hash"] for r in cat.read("seen").select("url_hash").collect()}
+    metrics = cat.read("metrics").filter("part_id = -1").toPandas().sort_values("round")
+    return res, corpus, seen, metrics
+
+
+@pytest.mark.parametrize("name", list(SCENARIOS))
+def test_parity(spark, name):
+    sc = SCENARIOS[name]
+    web = generate_web(sc["params"])
+    tmp = tempfile.mkdtemp()
+    try:
+        write_web(web, f"{tmp}/web")
+        sim = simulate(web, corpus_size=sc["corpus_size"])
+        res, corpus, seen, metrics = _run_engine(
+            spark, f"{tmp}/web", f"{tmp}/job", sc["corpus_size"])
+
+        # 1. crawl ordering parity: (round, url_hash) sequence identical
+        got = list(zip(corpus["fetch_round"], corpus["url_hash"]))
+        want = [(r, h) for (_, r, h, _) in sim.order]
+        assert got == want, f"{name}: fetch order diverged"
+        # fetch_vt values too (the virtual-time schedule itself)
+        assert list(corpus["fetch_vt"]) == [vt for (_, _, _, vt) in sim.order]
+
+        # 2. visited-set and seen-set exact equality
+        assert set(corpus["url_hash"]) == sim.visited
+        assert seen == sim.seen
+
+        # 3. stop semantics
+        assert res.stop_reason == sim.stop_reason
+        assert res.visited == len(sim.visited)
+
+        # 4. per-round metrics rollups
+        em = metrics[["round", "fetched", "enqueued", "dropped_seen",
+                      "dropped_robots", "deferred"]].astype(int)
+        for om in sim.metrics:
+            row = em[em["round"] == om["round"]]
+            assert len(row) == 1, f"{name}: missing metrics round {om['round']}"
+            for k in ("fetched", "enqueued", "dropped_seen", "dropped_robots", "deferred"):
+                assert int(row.iloc[0][k]) == om[k], f"{name} r{om['round']} {k}"
+
+        # 5. payload invariant: every fetched page decodes valid
+        assert bool(corpus["valid"].all())
+        lossy = corpus[corpus["fmt"] == "qnt"]
+        if len(lossy):
+            assert float(lossy["psnr"].min()) >= 40.0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -1,0 +1,72 @@
+"""Catalog unit tests: atomic versioned commits, empty reads, time travel."""
+
+import pyarrow as pa
+import pytest
+
+from pegasus_spark.tables import CheckpointStore, ManifestCatalog
+
+
+@pytest.fixture
+def cat(spark, tmp_path):
+    return ManifestCatalog(spark, str(tmp_path / "cat"))
+
+
+def test_empty_table_has_schema(spark, cat):
+    cat.create("t", "a long, b string")
+    df = cat.read("t")
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == ["a", "b"]
+
+
+def test_append_versions_and_time_travel(spark, cat):
+    cat.create("t", "a long")
+    v1 = cat.append("t", spark.range(3).selectExpr("id as a"))
+    v2 = cat.append("t", spark.range(2).selectExpr("id + 10 as a"))
+    assert (v1, v2) == (1, 2)
+    assert cat.read("t").count() == 5
+    assert cat.read("t", version=v1).count() == 3
+    assert cat.read("t", version=0).count() == 0
+
+
+def test_overwrite_replaces(spark, cat):
+    cat.create("t", "a long")
+    cat.append("t", spark.range(5).selectExpr("id as a"))
+    cat.overwrite("t", spark.range(2).selectExpr("id as a"))
+    assert cat.read("t").count() == 2
+
+
+def test_restore_rolls_back(spark, cat):
+    cat.create("t", "a long")
+    cat.append("t", spark.range(3).selectExpr("id as a"))
+    snap = cat.snapshot(["t"])
+    cat.append("t", spark.range(4).selectExpr("id as a"))
+    assert cat.read("t").count() == 7
+    cat.restore(snap)
+    assert cat.read("t").count() == 3
+    # a new commit after restore branches forward
+    cat.append("t", spark.range(1).selectExpr("id as a"))
+    assert cat.read("t").count() == 4
+
+
+def test_create_idempotent(spark, cat):
+    cat.create("t", "a long")
+    cat.append("t", spark.range(3).selectExpr("id as a"))
+    cat.create("t", "a long")  # no-op, keeps data
+    assert cat.read("t").count() == 3
+
+
+def test_local_append_roundtrips_through_spark(spark, cat):
+    cat.create("m", "x int, y long")
+    t = pa.table({"x": pa.array([1, 2], pa.int32()), "y": pa.array([10, 20], pa.int64())})
+    cat.append_local("m", t)
+    got = cat.read("m").toPandas().sort_values("x")
+    assert list(got["y"]) == [10, 20]
+
+
+def test_checkpoint_store(tmp_path):
+    ck = CheckpointStore(str(tmp_path))
+    assert ck.latest() is None
+    ck.save(0, {"visited": 5, "stopped": False})
+    ck.save(1, {"visited": 9, "stopped": True})
+    assert ck.latest()["round"] == 1
+    assert ck.latest()["visited"] == 9
