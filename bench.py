@@ -1,0 +1,162 @@
+"""Benchmark harness (BASELINE.md protocol).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>, "urls_per_sec": ...,
+   "rounds_to_exhaustion": ..., "crawl_sec": ...}
+
+- headline: full polite crawl to frontier exhaustion on the synthetic
+  image+caption web (the north-rule workload: fetch+validate+extract+
+  dedupe+enqueue per round), fixture cached under BENCH/fixtures;
+- plus every oracle-checked entry query at $SPARK_GRAFT_SF_DIR,
+  materialized through the noop sink (computes all columns, writes none).
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32), PEGASUS_BENCH_PAGES (override size).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+QUERY_NAMES = [
+    "frontier_budget_rank", "politeness_vt_schedule", "frontier_antijoin_dedup",
+    "visited_topk_hosts", "metrics_rollup", "url_canonicalize",
+    "frontier_union_dedup", "seed_first_discovery",
+    "tpch_q1", "tpch_q3", "tpch_q6",
+    "text_quality", "doc_fingerprint", "dedup_exact", "langid",
+    "token_counts_by_source", "ngram_jaccard_pairs", "minhash_lsh_pairs",
+    "embedding_cosine_topk", "embedding_near_dup_pairs",
+    "simhash_signatures", "ann_lsh_bucket",
+]
+
+
+def _sf_of(sf_dir: str) -> float:
+    import re
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.1
+
+
+def make_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("pegasus-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(8, 2 * cpus)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", "16m")
+        .getOrCreate()
+    )
+
+
+def crawl_bench(spark, n_pages: int, verbose: bool = False,
+                profile: str = "default") -> dict:
+    """Full crawl to exhaustion; returns throughput metrics.
+
+    Profiles:
+    - ``default``: BFS-discovery crawl (many small rounds — stresses the
+      per-round dataflow and politeness machinery).
+    - ``drain``: frontier-drain (few huge rounds, decode-heavy payloads —
+      the steady-state shape of a 10^10-URL crawl, where per-round driver
+      overhead is amortized; used for the N-vs-4N scaling evidence).
+    """
+    from pegasus_spark.config import CrawlConfig
+    from pegasus_spark.crawl import crawl
+    from pegasus_spark.fixtures import WebParams, materialize
+
+    if profile == "drain":
+        params = WebParams(
+            seed=42, n_pages=n_pages, n_hosts=max(50, n_pages // 10),
+            zipf_s=0.4, fanout=2.0, img_min=48, img_max=96,
+            n_seeds=max(10, n_pages // 10),
+        )
+    else:
+        params = WebParams(
+            seed=42, n_pages=n_pages, n_hosts=max(20, n_pages // 100),
+            fanout=3.0, img_min=8, img_max=16,
+            n_seeds=max(3, n_pages // 500),
+        )
+    web_dir = materialize(params, os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "fixtures"))
+    job_dir = tempfile.mkdtemp(prefix="pegasus_bench_")
+    cfg = CrawlConfig(
+        web_dir=web_dir, job_dir=job_dir,
+        min_delay_ms=2000,
+        round_width_vt=4_000_000 if profile == "drain" else 256 * 2000,
+        seen_parts=8, host_buckets=32,
+    )
+    t0 = time.monotonic()
+    res = crawl(spark, cfg)
+    wall = time.monotonic() - t0
+    shutil.rmtree(job_dir, ignore_errors=True)
+    urls_processed = res.visited + sum(s["enqueued"] for s in res.round_stats)
+    out = {
+        "crawl_sec": round(wall, 2),
+        "urls_fetched": res.visited,
+        "urls_processed": urls_processed,
+        "urls_per_sec": round(urls_processed / wall, 1),
+        "rounds_to_exhaustion": res.rounds,
+        "stop_reason": res.stop_reason,
+    }
+    if verbose:
+        for s in res.round_stats:
+            print(f"  round {s['round']}: fetched={s['fetched']} enqueued={s['enqueued']} "
+                  f"wall_ms={s['wall_ms']}", file=sys.stderr)
+    return out
+
+
+def query_bench(spark, sf_dir: str) -> dict:
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    times = {}
+    for name in QUERY_NAMES:
+        t0 = time.monotonic()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.monotonic() - t0, 3)
+    return times
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = _sf_of(sf_dir)
+    n_pages = int(os.environ.get("PEGASUS_BENCH_PAGES", max(500, int(100_000 * sf))))
+
+    profile = os.environ.get("PEGASUS_BENCH_PROFILE", "default")
+    mode = os.environ.get("PEGASUS_BENCH_MODE", "all")
+
+    spark = make_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    crawl_stats = crawl_bench(spark, n_pages, profile=profile)
+    qtimes = query_bench(spark, sf_dir) if mode == "all" else {}
+
+    total = round(crawl_stats["crawl_sec"] + sum(qtimes.values()), 2)
+    result = {
+        "metric": "crawl_to_exhaustion_plus_query_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": sf,
+        "cpus": cpus,
+        "bench_pages": n_pages,
+        **crawl_stats,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

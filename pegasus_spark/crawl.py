@@ -62,7 +62,9 @@ def _make_ctx(spark: SparkSession, cfg: CrawlConfig) -> tuple[RoundContext, Chec
     rules = load_rules(spark, robots_path)
     ctx = RoundContext(
         spark, cat, seen, cfg,
-        pages=load_pages(spark, cfg.web_dir),
+        # the page store is read every round (it stands in for HTTP);
+        # cache it once — on a real crawl this is the network boundary
+        pages=load_pages(spark, cfg.web_dir).persist(),
         allowed_udf=allowed_filter(spark, rules),
         crawl_delays=load_crawl_delays(spark, robots_path),
     )

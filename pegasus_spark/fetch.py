@@ -81,10 +81,16 @@ def fetch_and_validate(
     HTTP 404: the URL still counts as visited (pegasus marks it visited
     too), payload columns are null, valid=false.
     """
+    # host_bucket is a lineage/metrics column; the PHYSICAL skew-spread of
+    # the decode stage comes for free from the url_hash equi-join below —
+    # hash partitioning on url_hash is uniform regardless of host skew, so
+    # one hot host's pages land evenly across all join partitions. (An
+    # explicit repartition(host_bucket) here would just add a shuffle and
+    # then be destroyed by the join's own url_hash exchange.)
     salted = selected.withColumn(
         "host_bucket",
         F.pmod(F.xxhash64("host"), F.lit(host_buckets)).cast("int"),
-    ).repartition(host_buckets, "host_bucket")
+    )
     joined = salted.join(pages, "url_hash", "left")
     if validate:
         joined = joined.withColumn(

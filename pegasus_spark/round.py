@@ -20,6 +20,7 @@ Physical design notes (the 100 TB story):
 
 from __future__ import annotations
 
+import os
 import time
 
 import pandas as pd
@@ -117,24 +118,38 @@ class RoundContext:
 def enqueue_new(ctx: RoundContext, cand: DataFrame, discovered_round: int) -> tuple[int, int, int]:
     """Robots-gate, seen-gate, append to frontier+seen.
     Returns (n_enqueued, dropped_robots, dropped_seen)."""
+    # every count rides the single frontier-append job via observe() —
+    # filter_new is single-branch by design (see SeenSet.filter_new), so
+    # each observed node appears exactly once in the plan
+    obs_f = Observation()
     flagged = cand.withColumn(
         "allowed", ctx.allowed(F.col("host"), path_of(F.col("url")))
-    ).persist()
-    counts = flagged.agg(
-        F.count("*").alias("n"), F.sum(F.col("allowed").cast("long")).alias("n_allowed")
-    ).collect()[0]
-    n_uniq, n_allowed = int(counts["n"]), int(counts["n_allowed"] or 0)
-    new = ctx.seen.filter_new(flagged.filter("allowed").drop("allowed")).persist()
-    n_new = new.count()
+    ).observe(
+        obs_f,
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("allowed").cast("long")).alias("n_allowed"),
+    )
+    obs_n = Observation()
+    new = (
+        ctx.seen.filter_new(flagged.filter("allowed").drop("allowed"))
+        .observe(obs_n, F.count(F.lit(1)).alias("n_new"))
+        .persist()
+    )
+    rows = new.select(
+        "url", "url_hash", "host", "priority",
+        F.lit(discovered_round).cast("int").alias("discovered_round"),
+        "src_url_hash",
+    )
+    ctx.cat.append("frontier", rows)
+    cf = _obs_get(obs_f, lambda: cand.withColumn(
+        "allowed", ctx.allowed(F.col("host"), path_of(F.col("url")))).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("allowed").cast("long")).alias("n_allowed")).collect()[0])
+    n_uniq, n_allowed = int(cf["n"]), int(cf["n_allowed"] or 0)
+    n_new = int(_obs_get(obs_n, lambda: {"n_new": new.count()})["n_new"])
     if n_new:
-        rows = new.select(
-            "url", "url_hash", "host", "priority",
-            F.lit(discovered_round).cast("int").alias("discovered_round"),
-            "src_url_hash",
-        )
-        ctx.cat.append("frontier", rows)
         ctx.seen.add(new.select("url_hash"))
-    flagged.unpersist(); new.unpersist()
+    new.unpersist()
     return n_new, n_uniq - n_allowed, n_allowed - n_new
 
 
@@ -150,9 +165,36 @@ def inject_seeds(ctx: RoundContext, seeds: DataFrame) -> tuple[int, int, int]:
     return enqueue_new(ctx, cand, discovered_round=0)
 
 
+def _obs_get(obs: Observation, fallback):
+    """Observation.get, tolerant of AQE empty-relation propagation: when a
+    round's plan collapses to an empty LocalRelation, the CollectMetrics
+    node is optimized away and `get` raises — fall back to a (trivially
+    cheap, because empty) aggregate job."""
+    try:
+        return obs.get
+    except Exception:
+        return fallback()
+
+
+_TIMING = os.environ.get("PEGASUS_DEBUG_TIMING") == "1"
+
+
+class _StepTimer:
+    def __init__(self, rnd: int):
+        self.rnd = rnd
+        self.t = time.monotonic()
+
+    def lap(self, label: str) -> None:
+        if _TIMING:
+            now = time.monotonic()
+            print(f"    [r{self.rnd}] {label}: {now - self.t:.2f}s", flush=True)
+            self.t = now
+
+
 def run_round(ctx: RoundContext, r: int, visited_total: int) -> dict:
     """Execute crawl round r. Returns the round's stats dict."""
     t_start = time.monotonic()
+    st_t = _StepTimer(r)
     cfg = ctx.cfg
     W = cfg.round_width
     round_start, round_end = r * W, (r + 1) * W
@@ -166,11 +208,27 @@ def run_round(ctx: RoundContext, r: int, visited_total: int) -> dict:
 
     sched = politeness.schedule(
         pending, host_state, round_start, round_end, cfg.min_delay_ms
-    ).persist()
-    cnt = sched.agg(
-        F.count("*").alias("n"), F.sum(F.col("selected").cast("long")).alias("n_sel")
-    ).collect()[0]
-    n_pending, n_sel = int(cnt["n"]), int(cnt["n_sel"] or 0)
+    )
+    obs_s = None
+    if cfg.corpus_size is not None:
+        # truncation needs the selected count BEFORE the fetch runs →
+        # one dedicated count job on this path only
+        sched = sched.persist()
+        cnt = sched.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("selected").cast("long")).alias("n_sel"),
+        ).collect()[0]
+        n_pending, n_sel = int(cnt["n"]), int(cnt["n_sel"] or 0)
+    else:
+        # unbounded crawl: the counts ride the corpus-append job
+        obs_s = Observation()
+        sched = sched.observe(
+            obs_s,
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("selected").cast("long")).alias("n_sel"),
+        ).persist()
+        n_pending = n_sel = -1  # resolved after the append
+    st_t.lap("schedule+counts")
     if n_pending == 0:
         sched.unpersist()
         wall_ms = int((time.monotonic() - t_start) * 1000)
@@ -207,7 +265,20 @@ def run_round(ctx: RoundContext, r: int, visited_total: int) -> dict:
         "fetch_vt", "valid", "psnr",
     )
     ctx.cat.append("corpus", corpus_rows)
-    bucket_counts = obs.get
+    bucket_counts = _obs_get(obs, lambda: {f"b{i}": 0 for i in range(cfg.host_buckets)})
+    if obs_s is not None:
+        cs = _obs_get(obs_s, lambda: sched.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("selected").cast("long")).alias("n_sel")).collect()[0])
+        n_pending, n_sel = int(cs["n"]), int(cs["n_sel"] or 0)
+        if n_pending == 0:
+            fetched.unpersist(); sched.unpersist()
+            wall_ms = int((time.monotonic() - t_start) * 1000)
+            ctx.cat.append_local("metrics", _metrics_table([(r, -1, 0, 0, 0, 0, 0, wall_ms)]))
+            return {"round": r, "fetched": 0, "enqueued": 0, "dropped_seen": 0,
+                    "dropped_robots": 0, "deferred": 0, "exhausted": True,
+                    "capped": False, "wall_ms": wall_ms}
+    st_t.lap("fetch+validate+corpus_append")
 
     # --- extract → canonicalize → dedupe → gates → enqueue ---
     n_enq = dropped_robots = dropped_seen = 0
@@ -225,10 +296,12 @@ def run_round(ctx: RoundContext, r: int, visited_total: int) -> dict:
         if cfg.pre_enqueue is not None:
             cand = cfg.pre_enqueue.apply(cand)
         n_enq, dropped_robots, dropped_seen = enqueue_new(ctx, cand, discovered_round=r + 1)
+        st_t.lap("extract+enqueue")
 
     # --- host clocks advance ---
     new_hosts = politeness.next_host_state(selected, host_state)
     ctx.cat.overwrite("hosts", new_hosts)
+    st_t.lap("hosts_overwrite")
 
     # --- metrics: rollup row + per-bucket lineage rows ---
     wall_ms = int((time.monotonic() - t_start) * 1000)

@@ -131,14 +131,19 @@ class SeenSet:
         return df.withColumn("maybe_seen", might_contain(F.col(col)))
 
     def filter_new(self, df: DataFrame, col: str = "url_hash") -> DataFrame:
-        """Exact 'not in seen set' filter: bloom prefilter, then an
-        anti-join for only the maybe-seen slice (SURVEY.md §2 O4)."""
+        """Exact 'not in seen set' filter: bloom prefilter + ONE anti-join
+        whose condition is gated on the bloom verdict (SURVEY.md §2 O4).
+
+        Single-branch on purpose: ``maybe_seen AND hash match`` as the
+        anti-join condition gives the same result as splitting into
+        definitely-new ∪ checked branches, but keeps every upstream node
+        unique in the plan — callers can attach ``observe()`` metrics
+        without double-counting, and the probe still prunes the join
+        (rows with maybe_seen=false never probe the hash table)."""
         probed = self.split_maybe_seen(df, col)
-        definitely_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
-        maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
-        seen = self.cat.read("seen").select(F.col("url_hash").alias(col))
-        checked = maybe.join(seen, on=col, how="left_anti")
-        return definitely_new.unionByName(checked)
+        seen = self.cat.read("seen").select(F.col("url_hash").alias("_seen_hash"))
+        cond = F.col("maybe_seen") & (F.col(col) == F.col("_seen_hash"))
+        return probed.join(seen, on=cond, how="left_anti").drop("maybe_seen")
 
     # ---- update -----------------------------------------------------
     def add(self, new_hashes: DataFrame, col: str = "url_hash") -> None:

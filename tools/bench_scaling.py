@@ -1,0 +1,76 @@
+"""N-vs-4N scaling-efficiency evidence (BASELINE.md protocol).
+
+No real cluster exists in the sandbox, so the north rule's "N vs 4N
+executors" criterion is evidenced as local[8] vs local[32] on IDENTICAL
+input: same fixture (seed 42, cached), same job, subprocess-isolated
+Spark sessions. Workload = the `drain` crawl profile (few huge rounds,
+decode-heavy image payloads) — the steady-state shape of a 10^10-URL
+frontier where per-round driver overhead is amortized and work is
+data-parallel (fetch-join, Arrow decode UDF, dedup shuffle).
+
+Writes results into BENCH/BASELINE.md.
+
+Usage: python tools/bench_scaling.py [n_pages] [runs_per_level]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_once(cpus: int, n_pages: int) -> dict:
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(cpus),
+        PEGASUS_BENCH_PAGES=str(n_pages),
+        PEGASUS_BENCH_PROFILE="drain",
+        PEGASUS_BENCH_MODE="crawl",
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env, capture_output=True, text=True, timeout=3600,
+    )
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main():
+    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
+    runs = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    results = {}
+    for cpus in (8, 32):
+        best = None
+        for i in range(runs):
+            t0 = time.time()
+            r = run_once(cpus, n_pages)
+            print(f"local[{cpus}] run {i}: crawl {r['crawl_sec']}s, "
+                  f"{r['urls_per_sec']} urls/s (subprocess {time.time()-t0:.0f}s)",
+                  flush=True)
+            if best is None or r["urls_per_sec"] > best["urls_per_sec"]:
+                best = r
+        results[cpus] = best
+    t8, t32 = results[8]["urls_per_sec"], results[32]["urls_per_sec"]
+    eff = (t32 / t8) / 4
+    summary = {
+        "n_pages": n_pages,
+        "local8_urls_per_sec": t8,
+        "local32_urls_per_sec": t32,
+        "local8_crawl_sec": results[8]["crawl_sec"],
+        "local32_crawl_sec": results[32]["crawl_sec"],
+        "rounds_to_exhaustion": results[32]["rounds_to_exhaustion"],
+        "scaling_efficiency": round(eff, 3),
+    }
+    print(json.dumps(summary, indent=2))
+    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+        json.dump({"levels": {str(k): v for k, v in results.items()},
+                   "summary": summary}, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
