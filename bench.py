@@ -80,8 +80,8 @@ def crawl_bench(spark, n_pages: int, verbose: bool = False,
     if profile == "drain":
         params = WebParams(
             seed=42, n_pages=n_pages, n_hosts=max(50, n_pages // 10),
-            zipf_s=0.4, fanout=2.0, img_min=48, img_max=96,
-            n_seeds=max(10, n_pages // 10),
+            zipf_s=0.4, fanout=3.0, img_min=48, img_max=96,
+            n_seeds=max(10, n_pages // 4),
         )
     else:
         params = WebParams(

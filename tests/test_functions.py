@@ -1,0 +1,139 @@
+"""Unit tests for the training-data pipeline operators
+(pegasus_spark.functions.*)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pegasus_spark import codec
+from pegasus_spark.functions import multimodal, simops, textops
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat"),  # near dup
+        (3, "completely different text about spark engines and shuffles"),
+        (4, "el gato y la casa de la abuela en el pueblo"),
+        (5, "le chat et le chien des voisins dans la rue"),
+        (6, "xy"),  # degenerate short doc
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    groups = textops.exact_dedup_groups(docs).collect()
+    dup = [g for g in groups if g["n_docs"] > 1]
+    assert len(dup) == 1 and dup[0]["keeper"] == 0 and dup[0]["n_docs"] == 2
+    assert len(groups) == 6  # 7 docs, one pair merged
+
+
+def test_quality_metrics(spark, docs):
+    q = {r["doc_id"]: r for r in textops.quality_metrics(docs).collect()}
+    assert q[0]["n_tokens"] == 9
+    assert q[0]["stopword_ratio"] > 0
+    assert q[6]["n_tokens"] == 1 and not q[6]["len_ok"]
+
+
+def test_langid(spark, docs):
+    pred = {r["doc_id"]: r["pred_lang"] for r in textops.langid_heuristic(docs).collect()}
+    assert pred[0] == "en"
+    assert pred[4] == "es"
+    assert pred[5] == "fr"
+    assert pred[6] == "other"
+
+
+def test_minhash_lsh_finds_near_dup(spark, docs):
+    pairs = {(r["doc_a"], r["doc_b"]) for r in
+             textops.minhash_lsh_pairs(docs).collect()}
+    assert (0, 1) in pairs  # exact dup shares all bands
+    # near-dup (0,2) shares most shingles → very likely ≥1 band
+    assert (0, 2) in pairs or (1, 2) in pairs
+    assert all(a < b for a, b in pairs)
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+             textops.ngram_jaccard_pairs(docs).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert 0.0 < pairs[(0, 2)] < 1.0
+
+
+def test_simhash_near_dup(spark, docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in
+             simops.simhash_near_dup_pairs(docs, max_hamming=16).collect()}
+    assert pairs[(0, 1)] == 0  # identical text → identical simhash
+    assert (0, 2) in pairs  # near-dup within hamming budget
+
+
+def test_cosine_topk_and_lsh(spark):
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((200, 16)).astype(np.float32)
+    vecs[7] = vecs[0] + rng.standard_normal(16).astype(np.float32) * 0.01  # near dup of 0
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    )
+    q = [float(x) for x in vecs[0]]
+    top = simops.cosine_topk(df, q, k=3).collect()
+    assert top[0]["vec_id"] == 0 and top[0]["cos"] == 1.0
+    assert top[1]["vec_id"] == 7  # the planted near-dup
+    # LSH bucket search finds the planted near-dup too (same bucket w.h.p.)
+    lsh = simops.lsh_bucket_topk(df, q, k=3, n_planes=4).collect()
+    assert lsh[0]["vec_id"] == 0
+
+
+def test_embedding_near_dup_pairs(spark):
+    rng = np.random.default_rng(4)
+    vecs = rng.standard_normal((50, 8)).astype(np.float32)
+    vecs[9] = vecs[3] * 1.001
+    df = spark.createDataFrame(
+        [(i, i % 2, [float(x) for x in vecs[i]]) for i in range(50)],
+        "vec_id long, label int, embedding array<float>",
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             simops.embedding_near_dup_pairs(df, threshold=0.99).collect()}
+    assert (3, 9) in pairs
+
+
+@pytest.fixture(scope="module")
+def images(spark):
+    rng = np.random.default_rng(5)
+    rows = []
+    base = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    for i in range(6):
+        px = base.copy() if i < 2 else rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+        fmt = "png" if i % 2 == 0 else "qnt"
+        rows.append((f"img-{i}", codec.encode(px, fmt), 16, 16, fmt, codec.phash(px)))
+    return spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string, phash long")
+
+
+def test_image_features_real_decode(spark, images):
+    feats = {r["image_id"]: r for r in multimodal.image_features(images).collect()}
+    assert all(f["decode_ok"] for f in feats.values())
+    for k, f in feats.items():
+        assert 0 <= f["brightness"] <= 255
+
+
+def test_image_resize(spark, images):
+    out = multimodal.image_resize(images, 8, 8).collect()
+    for r in out:
+        px = codec.png_decode(r["bytes"])
+        assert px.shape == (8, 8, 3)
+
+
+def test_phash_near_dup(spark, images):
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             multimodal.phash_near_dup_pairs(images, max_hamming=0).collect()}
+    assert ("img-0", "img-1") in pairs  # same pixels (qnt loses ≤2/255 → same phash)
+
+
+def test_audio_video_stubs_raise(spark, images):
+    df = spark.createDataFrame([("c1", b"\x00")], "clip_id string, bytes binary")
+    with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
+        multimodal.audio_features(df).collect()
+    with pytest.raises(Exception):
+        multimodal.video_frame_sample(df).collect()

@@ -42,19 +42,22 @@ def run_once(cpus: int, n_pages: int) -> dict:
 
 def main():
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
-    runs = int(sys.argv[2]) if len(sys.argv) > 2 else 2
-    results = {}
-    for cpus in (8, 32):
-        best = None
-        for i in range(runs):
+    runs = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    # interleave parallelism levels so machine drift (JIT warm-up, page
+    # cache, noisy neighbors) hits both levels equally; report medians
+    raw: dict[int, list[dict]] = {8: [], 32: []}
+    for i in range(runs):
+        for cpus in (8, 32):
             t0 = time.time()
             r = run_once(cpus, n_pages)
+            raw[cpus].append(r)
             print(f"local[{cpus}] run {i}: crawl {r['crawl_sec']}s, "
                   f"{r['urls_per_sec']} urls/s (subprocess {time.time()-t0:.0f}s)",
                   flush=True)
-            if best is None or r["urls_per_sec"] > best["urls_per_sec"]:
-                best = r
-        results[cpus] = best
+    results = {}
+    for cpus, rs in raw.items():
+        rs_sorted = sorted(rs, key=lambda r: r["urls_per_sec"])
+        results[cpus] = rs_sorted[len(rs_sorted) // 2]  # median
     t8, t32 = results[8]["urls_per_sec"], results[32]["urls_per_sec"]
     eff = (t32 / t8) / 4
     summary = {
