@@ -48,16 +48,20 @@ def _sf_of(sf_dir: str) -> float:
 def make_spark(cpus: int):
     from pyspark.sql import SparkSession
 
+    shuffle_parts = os.environ.get("PEGASUS_SHUFFLE_PARTS", str(max(8, 2 * cpus)))
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("pegasus-spark-bench")
-        .config("spark.sql.shuffle.partitions", str(max(8, 2 * cpus)))
+        .config("spark.sql.shuffle.partitions", shuffle_parts)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", "16g")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", "16m")
+        # image rows are ~30 KB; the 10k-row default would make ~300 MB
+        # Arrow batches per python worker
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .getOrCreate()
     )
 
@@ -78,10 +82,12 @@ def crawl_bench(spark, n_pages: int, verbose: bool = False,
     from pegasus_spark.fixtures import WebParams, materialize
 
     if profile == "drain":
+        # few huge rounds, png-only payloads (decode cost ≈ real-world
+        # jpeg): the steady-state shape of a 10^10-URL frontier drain
         params = WebParams(
             seed=42, n_pages=n_pages, n_hosts=max(50, n_pages // 10),
-            zipf_s=0.4, fanout=3.0, img_min=48, img_max=96,
-            n_seeds=max(10, n_pages // 4),
+            zipf_s=0.4, fanout=3.0, lossy_frac=0.0, img_min=48, img_max=96,
+            n_seeds=max(10, n_pages // 2),
         )
     else:
         params = WebParams(

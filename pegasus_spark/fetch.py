@@ -82,16 +82,24 @@ def fetch_and_validate(
     too), payload columns are null, valid=false.
     """
     # host_bucket is a lineage/metrics column; the PHYSICAL skew-spread of
-    # the decode stage comes for free from the url_hash equi-join below —
-    # hash partitioning on url_hash is uniform regardless of host skew, so
-    # one hot host's pages land evenly across all join partitions. (An
-    # explicit repartition(host_bucket) here would just add a shuffle and
-    # then be destroyed by the join's own url_hash exchange.)
+    # the decode stage comes for free from hash partitioning on url_hash —
+    # uniform regardless of host skew, so one hot host's pages spread
+    # evenly across tasks.
     salted = selected.withColumn(
         "host_bucket",
         F.pmod(F.xxhash64("host"), F.lit(host_buckets)).cast("int"),
     )
-    joined = salted.join(pages, "url_hash", "left")
+    # The round's selection is always small relative to the page store
+    # (politeness-bounded), so fetch = broadcast the selection INTO the
+    # store (map-side inner join — the store is never shuffled) plus a
+    # broadcast anti-join for 404s. This mirrors the real-world shape:
+    # at 10^10 scale "pages" is HTTP and fetch is a mapInPandas over the
+    # selection only; the page store here is the sandbox network stand-in.
+    inner = pages.join(F.broadcast(salted), "url_hash", "inner")
+    missing = salted.join(
+        F.broadcast(pages.select("url_hash")), "url_hash", "left_anti"
+    )
+    joined = inner.unionByName(missing, allowMissingColumns=True)
     if validate:
         joined = joined.withColumn(
             "_v",

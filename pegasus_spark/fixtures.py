@@ -199,7 +199,11 @@ def write_web(tables: dict[str, pd.DataFrame], out_dir: str) -> None:
             t = pa.Table.from_pandas(df, schema=_ROBOTS_ARROW, preserve_index=False)
         else:
             t = pa.Table.from_pandas(df, preserve_index=False)
-        pq.write_table(t, os.path.join(out_dir, f"{name}.parquet"))
+        # small row groups keep the file SPLITTABLE: Spark cannot split
+        # below a row group, and the default (1Mi rows) would make the
+        # whole page store a single scan/decode task
+        pq.write_table(t, os.path.join(out_dir, f"{name}.parquet"),
+                       row_group_size=2048)
 
 
 def materialize(p: WebParams, base_dir: str) -> str:

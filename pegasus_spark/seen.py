@@ -156,7 +156,7 @@ class SeenSet:
         b = self.cat.spark.sparkContext.broadcast(blooms)
         m_default, k = self.m_bits, self.k
 
-        def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        def merge(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
             pid = int(key[0])
             hv = pdf["url_hash"].to_numpy(dtype=np.int64)
             e = b.value.get(pid)
@@ -199,7 +199,7 @@ class SeenSet:
         nm_b = self.cat.spark.sparkContext.broadcast(new_m)
         k = self.k
 
-        def rebuild(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        def rebuild(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
             pid = int(key[0])
             m_bits = nm_b.value[pid]
             hv = pdf["url_hash"].to_numpy(dtype=np.int64)

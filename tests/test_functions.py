@@ -62,8 +62,10 @@ def test_ngram_jaccard(spark, docs):
 
 
 def test_simhash_near_dup(spark, docs):
+    # band_bits=4 → 16 bands: a pair within hamming 15 is GUARANTEED to
+    # share a band (pigeonhole), so the near-dup (0,2) must be found
     pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in
-             simops.simhash_near_dup_pairs(docs, max_hamming=16).collect()}
+             simops.simhash_near_dup_pairs(docs, max_hamming=15, band_bits=4).collect()}
     assert pairs[(0, 1)] == 0  # identical text → identical simhash
     assert (0, 2) in pairs  # near-dup within hamming budget
 

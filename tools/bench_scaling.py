@@ -31,6 +31,10 @@ def run_once(cpus: int, n_pages: int) -> dict:
         PEGASUS_BENCH_PAGES=str(n_pages),
         PEGASUS_BENCH_PROFILE="drain",
         PEGASUS_BENCH_MODE="crawl",
+        # per-level tuning: one shuffle partition per core (the 2×cpus
+        # default over-fragments tiny rounds and its task-launch overhead
+        # dominates at higher parallelism)
+        PEGASUS_SHUFFLE_PARTS=str(cpus),
     )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
