@@ -103,18 +103,20 @@ def minhash_signature(df: DataFrame, text_col: str = "text", num_hashes: int = 8
                       shingle_n: int = 3) -> DataFrame:
     """MinHash signature per document: for seed i, min over shingles of
     md5-int(seed || shingle). Columns mh0..mh{k-1}. Built-ins only."""
-    sh = shingles(F.col(text_col), shingle_n)
-    out = df.withColumn("_sh", sh)
-
-    # NB: the seed must be captured via a factory — a `lambda s, i=i: …`
-    # would be seen by F.transform as a binary (element, index) lambda
-    # and `i` would silently become the array index.
-    def hasher(seed: int):
-        return lambda s: _md5_int(F.concat(F.lit(f"{seed}|"), s))
-
-    for i in range(num_hashes):
-        out = out.withColumn(f"mh{i}", F.array_min(F.transform(F.col("_sh"), hasher(i))))
-    return out.drop("_sh")
+    # explode + groupBy (not 8 array_min/transform columns): Catalyst's
+    # CollapseProject would inline the shingle-building expression into
+    # every mh column, recomputing split/ngrams/distinct per hash seed —
+    # exploding materializes each shingle string exactly once, then the 8
+    # md5-int mins reduce in a single partial-aggregating shuffle
+    sh = df.select(
+        "doc_id", F.explode(shingles(F.col(text_col), shingle_n)).alias("_s")
+    )
+    aggs = [
+        F.min(_md5_int(F.concat(F.lit(f"{i}|"), F.col("_s")))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    return df.join(sig, "doc_id")
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", num_hashes: int = 8,
