@@ -280,28 +280,40 @@ def run_round(ctx: RoundContext, r: int, visited_total: int) -> dict:
                     "capped": False, "wall_ms": wall_ms}
     st_t.lap("fetch+validate+corpus_append")
 
-    # --- extract → canonicalize → dedupe → gates → enqueue ---
-    n_enq = dropped_robots = dropped_seen = 0
-    if not capped:  # pegasus stops consuming docs once corpus-size trips
+    # --- extract/enqueue and host-clock update are INDEPENDENT given the
+    # materialized fetched cache: submit them as concurrent Spark jobs
+    # (two driver threads) — the driver's serial coordination path is the
+    # scaling bottleneck at small round sizes, and concurrent submission
+    # overlaps it. Both write to different tables (frontier/seen vs
+    # hosts), and catalog commits are per-table, so this is safe.
+    def _do_enqueue():
+        if capped:  # pegasus stops consuming docs once corpus-size trips
+            return 0, 0, 0
         links = fetched.filter(F.col("out_links").isNotNull()).select(
             F.col("url").alias("base_url"),
             F.col("priority").alias("parent_priority"),
             F.col("url_hash").alias("src_url_hash"),
             F.explode("out_links").alias("href"),
         )
-        extractor = cfg.extractor
-        if extractor is not None:
-            links = extractor.apply(links)
+        if cfg.extractor is not None:
+            links = cfg.extractor.apply(links)
         cand = dedupe_candidates(canonicalize_links(links))
         if cfg.pre_enqueue is not None:
             cand = cfg.pre_enqueue.apply(cand)
-        n_enq, dropped_robots, dropped_seen = enqueue_new(ctx, cand, discovered_round=r + 1)
-        st_t.lap("extract+enqueue")
+        return enqueue_new(ctx, cand, discovered_round=r + 1)
 
-    # --- host clocks advance ---
-    new_hosts = politeness.next_host_state(selected, host_state)
-    ctx.cat.overwrite("hosts", new_hosts)
-    st_t.lap("hosts_overwrite")
+    def _do_hosts():
+        new_hosts = politeness.next_host_state(selected, host_state)
+        ctx.cat.overwrite("hosts", new_hosts)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_enq = pool.submit(_do_enqueue)
+        f_hosts = pool.submit(_do_hosts)
+        n_enq, dropped_robots, dropped_seen = f_enq.result()
+        f_hosts.result()
+    st_t.lap("extract+enqueue | hosts (concurrent)")
 
     # --- metrics: rollup row + per-bucket lineage rows ---
     wall_ms = int((time.monotonic() - t_start) * 1000)
