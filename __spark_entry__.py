@@ -343,8 +343,8 @@ def oracle_sql() -> dict[str, str]:
                      (row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1) * 2000 AS fetch_vt
               FROM events)
             SELECT user_id,
-                   SUM(CASE WHEN fetch_vt < 8000 THEN 1 ELSE 0 END) AS fetched,
-                   SUM(CASE WHEN fetch_vt >= 8000 THEN 1 ELSE 0 END) AS deferred
+                   CAST(SUM(CASE WHEN fetch_vt < 8000 THEN 1 ELSE 0 END) AS BIGINT) AS fetched,
+                   CAST(SUM(CASE WHEN fetch_vt >= 8000 THEN 1 ELSE 0 END) AS BIGINT) AS deferred
             FROM s GROUP BY user_id
         """,
         "frontier_antijoin_dedup": """
@@ -456,7 +456,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_counts_by_source": """
             SELECT source,
-                   SUM(len(string_split_regex(lower(trim(text)), '\\s+'))) AS total_tokens,
+                   CAST(SUM(len(string_split_regex(lower(trim(text)), '\\s+'))) AS BIGINT) AS total_tokens,
                    COUNT(*) AS docs
             FROM documents GROUP BY source
         """,

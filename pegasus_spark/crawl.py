@@ -76,6 +76,14 @@ def _make_ctx(spark: SparkSession, cfg: CrawlConfig) -> tuple[RoundContext, Chec
 
 
 def crawl(spark: SparkSession, cfg: CrawlConfig, resume: bool = False) -> CrawlResult:
+    if not resume and CheckpointStore(cfg.job_dir).latest() is not None:
+        # a fresh crawl over stale state would silently drop the re-injected
+        # seeds (seen-set) and misalign round-0 virtual time with the
+        # already-advanced host clocks — refuse instead of corrupting
+        raise ValueError(
+            f"job_dir {cfg.job_dir!r} holds a prior crawl's checkpoints; "
+            "pass resume=True to continue it or point at a clean job_dir"
+        )
     ctx, ckpt = _make_ctx(spark, cfg)
     cat = ctx.cat
 

@@ -147,13 +147,20 @@ def simhash64(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
-                           max_hamming: int = 8, band_bits: int = 16) -> DataFrame:
+                           max_hamming: int = 7, band_bits: int = 8) -> DataFrame:
     """SimHash near-dup pairs: band the 64-bit simhash into 64/band_bits
-    bands (a pair within Hamming distance < #bands must share ≥1 exact
-    band — pigeonhole), bucket-join on bands, verify Hamming distance
-    with bit_count (JVM-side)."""
-    sh = simhash64(df, text_col).select("doc_id", "simhash")
+    bands, bucket-join on bands, verify Hamming distance with bit_count
+    (JVM-side). Pigeonhole: a pair within Hamming distance < #bands must
+    share ≥1 exact band, so recall is exact only when
+    ``max_hamming < 64 // band_bits`` — enforced here (defaults: 8 bands
+    of 8 bits cover max_hamming=7)."""
     n_bands = 64 // band_bits
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs > {max_hamming} bands for the "
+            f"pigeonhole guarantee; band_bits={band_bits} gives only {n_bands}"
+        )
+    sh = simhash64(df, text_col).select("doc_id", "simhash")
     mask = (1 << band_bits) - 1
     bands = sh.select(
         "doc_id", "simhash",

@@ -15,8 +15,10 @@ _WS = r"\s+"
 
 
 def tokens(col: Column) -> Column:
-    """Whitespace tokenization of lowercased text."""
-    return F.split(F.lower(col), _WS)
+    """Whitespace tokenization of lowercased, trimmed text (trim first so
+    leading/trailing whitespace never yields empty tokens — matches the
+    DuckDB oracle spec ``string_split_regex(lower(trim(text)), '\\s+')``)."""
+    return F.split(F.trim(F.lower(col)), _WS)
 
 
 def token_count(col: Column) -> Column:

@@ -25,7 +25,13 @@ def norm_cell(v):
     if isinstance(v, float):
         if v != v:
             return "nan"
-        return f"{v:.6g}"
+        # keep a trailing ".0" so a float64 57.0 does NOT hash equal to an
+        # int64 57 — the external gate compares dtypes-sensitive strings, and
+        # a laxer normalizer here masked two oracle typing bugs in round 1
+        s = f"{v:.6g}"
+        if "." not in s and "e" not in s and "inf" not in s:
+            s += ".0"
+        return s
     if isinstance(v, bool):
         return str(int(v))
     return str(v)
