@@ -273,14 +273,21 @@ def q_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash64(_t(spark, sf_dir, "documents")).select("doc_id", "simhash")
 
 
+_ANN_DIM, _ANN_PLANES = 64, 8  # driver testdata embeddings are 64-dim
+
+
 def q_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pegasus_spark.functions.simops import lsh_bucket_udf
+    """ANN bucketing via deterministic ±1 projections in exact decimal
+    arithmetic (JVM built-ins, no UDF) — bucket histogram. The planes are
+    rendered as literals into the DuckDB oracle, so this is value-checked
+    end to end (the numpy-planes variant, lsh_bucket_udf, stays for
+    arbitrary dims)."""
+    from pegasus_spark.functions.simops import signed_projection_bucket
 
     e = _t(spark, sf_dir, "embeddings")
-    dim = len(e.select("embedding").first()["embedding"])
-    bucket = lsh_bucket_udf(dim, n_planes=8)
-    return e.withColumn("bucket", bucket(F.col("embedding"))).groupBy("bucket").agg(
-        F.count("*").alias("n")
+    return (
+        signed_projection_bucket(e, _ANN_DIM, n_planes=_ANN_PLANES)
+        .groupBy("bucket").agg(F.count("*").alias("n"))
     )
 
 
@@ -326,8 +333,12 @@ _MD5INT = "CAST(CONCAT('0x', substr(md5({0}), 1, 8)) AS BIGINT)"
 
 
 def oracle_sql() -> dict[str, str]:
+    from pegasus_spark.functions.textops import MINHASH_AB, MINHASH_P
+
+    # mh_i = min over shingles of (a_i·h + b_i) mod p, h = ONE md5-int per
+    # shingle — the exact integer mixing the Spark side uses (textops._mix)
     mh = {
-        i: f"list_min(list_transform(sh, s -> {_MD5INT.format(chr(39) + str(i) + '|' + chr(39) + ' || s')}))"
+        i: f"list_min(list_transform(hs, h -> ({MINHASH_AB[i][0]} * h + {MINHASH_AB[i][1]}) % {MINHASH_P}))"
         for i in range(8)
     }
     return {
@@ -464,18 +475,30 @@ def oracle_sql() -> dict[str, str]:
             WITH base AS (
               SELECT doc_id, md5(array_to_string(w[1:4], ' ')) AS block,
                      {_SHINGLES} AS sh
-              FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents)
-            )
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                   ROUND(len(list_intersect(a.sh, b.sh)) / GREATEST(len(list_distinct(a.sh || b.sh)), 1), 4) AS jaccard
-            FROM base a JOIN base b ON a.block = b.block AND a.doc_id < b.doc_id
+              FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents)),
+            ex AS (
+              SELECT DISTINCT doc_id, block, {_MD5INT.format('s')} AS h
+              FROM (SELECT doc_id, block, unnest(sh) AS s FROM base)),
+            sizes AS (SELECT doc_id, block, COUNT(*) AS n FROM ex GROUP BY 1, 2),
+            pairs AS (
+              SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, sa.n AS na, sb.n AS nb
+              FROM sizes sa JOIN sizes sb ON sa.block = sb.block AND sa.doc_id < sb.doc_id),
+            inter AS (
+              SELECT xa.doc_id AS doc_a, xb.doc_id AS doc_b, COUNT(*) AS ni
+              FROM ex xa JOIN ex xb
+                ON xa.block = xb.block AND xa.h = xb.h AND xa.doc_id < xb.doc_id
+              GROUP BY 1, 2)
+            SELECT p.doc_a, p.doc_b,
+                   ROUND(COALESCE(i.ni, 0) / GREATEST(p.na + p.nb - COALESCE(i.ni, 0), 1), 4) AS jaccard
+            FROM pairs p LEFT JOIN inter i ON p.doc_a = i.doc_a AND p.doc_b = i.doc_b
         """,
         "minhash_lsh_pairs": f"""
             WITH base AS (
               SELECT doc_id, {_SHINGLES} AS sh
               FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents)),
+            hbase AS (SELECT doc_id, list_transform(sh, s -> {_MD5INT.format('s')}) AS hs FROM base),
             sig AS (SELECT doc_id, {mh[0]} mh0, {mh[1]} mh1, {mh[2]} mh2, {mh[3]} mh3,
-                           {mh[4]} mh4, {mh[5]} mh5, {mh[6]} mh6, {mh[7]} mh7 FROM base),
+                           {mh[4]} mh4, {mh[5]} mh5, {mh[6]} mh6, {mh[7]} mh7 FROM hbase),
             bands AS (
               SELECT doc_id, 0 AS band_id, CONCAT(mh0, ',', mh1) AS band_hash FROM sig
               UNION ALL SELECT doc_id, 1, CONCAT(mh2, ',', mh3) FROM sig
@@ -500,6 +523,40 @@ def oracle_sql() -> dict[str, str]:
             FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
             WHERE ROUND(list_cosine_similarity(a.emb, b.emb), 4) >= 0.3
         """,
-        # simhash_signatures / ann_lsh_bucket: non-SQL-expressible
-        # (FNV-1a token hashing / random hyperplanes) → rows-only check.
+        "ann_lsh_bucket": _ann_oracle(),
+        # simhash_signatures: non-SQL-expressible (xxhash64 token hashing
+        # has no DuckDB twin) → rows-only check; pytest pins its semantics.
     }
+
+
+def _ann_oracle() -> str:
+    """The signed-projection bucket histogram in DuckDB SQL: the ±1
+    planes are literal arrays (same generator as the Spark side), the
+    projection is a quantize-to-int64 + exact integer SUM — order
+    independent, so the sign test matches Spark bit-for-bit."""
+    from pegasus_spark.functions.simops import rademacher_signs
+
+    signs = rademacher_signs(_ANN_DIM, _ANN_PLANES)
+    values = ", ".join(
+        f"({j}, [{', '.join(str(s) for s in signs[j])}])"
+        for j in range(_ANN_PLANES)
+    )
+    return f"""
+        WITH ex AS (
+          SELECT vec_id,
+                 CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS q,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings),
+        planes AS (
+          SELECT j, unnest(sv) AS s, generate_subscripts(sv, 1) AS i
+          FROM (VALUES {values}) t(j, sv)),
+        proj AS (
+          SELECT vec_id, j,
+                 CAST(SUM(q * s) AS BIGINT) AS pr
+          FROM ex JOIN planes USING (i) GROUP BY 1, 2),
+        b AS (
+          SELECT vec_id,
+                 CAST(SUM(CASE WHEN pr > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS bucket
+          FROM proj GROUP BY 1)
+        SELECT bucket, COUNT(*) AS n FROM b GROUP BY 1
+    """

@@ -53,9 +53,21 @@ class CrawlConfig:
     # skew: the fetch/decode stage shuffles on host_bucket, not host
     host_buckets: int = 32
     validate_payloads: bool = True
+    # robots acquisition: "preparsed" reads the fixture's pre-fetched
+    # rules table (the LMDB-cache-already-warm case); "discover" fetches
+    # and parses raw robots.txt per host the first time the host is
+    # touched (pegasus's actual behavior), honoring `user_agent` group
+    # selection
+    robots_mode: str = "preparsed"
+    # fetch join strategy: selections up to this many rows broadcast into
+    # the page store (map-side join, store never shuffles); larger rounds
+    # (10^7-10^8 URLs at design scale would blow the 8 GB broadcast
+    # ceiling) fall back to a co-partitioned shuffle join
+    fetch_broadcast_max: int = 2_000_000
     # plug points (pegasus :extractor / :writer / :stop-check analogues)
     extractor: Optional[Stage] = None
     pre_enqueue: Optional[Stage] = None
+    writer: Optional[Stage] = None  # pegasus default-writer-fn override
     stop_check: Optional[Callable[[int, int, bool], bool]] = None
     extra: dict = field(default_factory=dict)
 

@@ -20,7 +20,14 @@ from dataclasses import dataclass, field
 from pyspark.sql import SparkSession
 
 from .config import CrawlConfig
-from .robots import allowed_filter, load_crawl_delays, load_rules
+from .robots import (
+    ROBOTS_DDL,
+    RobotsCache,
+    allowed_filter,
+    load_crawl_delays,
+    load_raw,
+    load_rules,
+)
 from .round import (
     CORPUS_DDL,
     FRONTIER_DDL,
@@ -34,7 +41,7 @@ from .seen import SeenSet
 from .tables import CheckpointStore, ManifestCatalog
 from .fetch import load_pages
 
-TABLES = ["frontier", "corpus", "hosts", "metrics", "seen", "bloom"]
+TABLES = ["frontier", "corpus", "hosts", "metrics", "seen", "bloom", "robots"]
 
 
 @dataclass
@@ -58,20 +65,30 @@ def _make_ctx(spark: SparkSession, cfg: CrawlConfig) -> tuple[RoundContext, Chec
         k=cfg.bloom_k,
         overflow_rebuild=cfg.bloom_overflow_rebuild,
     )
-    robots_path = f"{cfg.web_dir}/robots_txt.parquet"
-    rules = load_rules(spark, robots_path)
+    cat.create("robots", ROBOTS_DDL)  # versioned even in preparsed mode
+    if cfg.robots_mode == "discover":
+        robots = RobotsCache(spark, cat, load_raw(spark, cfg.web_dir), cfg.user_agent)
+        allowed_udf = robots.allowed_udf()  # empty until first ensure()
+        crawl_delays = robots.crawl_delays()
+    elif cfg.robots_mode == "preparsed":
+        robots = None
+        robots_path = f"{cfg.web_dir}/robots_txt.parquet"
+        allowed_udf = allowed_filter(spark, load_rules(spark, robots_path))
+        crawl_delays = load_crawl_delays(spark, robots_path)
+    else:
+        raise ValueError(f"unknown robots_mode {cfg.robots_mode!r}")
     ctx = RoundContext(
         spark, cat, seen, cfg,
         # the page store is read every round (it stands in for HTTP);
         # cache it once — on a real crawl this is the network boundary
         pages=load_pages(spark, cfg.web_dir).persist(),
-        allowed_udf=allowed_filter(spark, rules),
-        crawl_delays=load_crawl_delays(spark, robots_path),
+        allowed_udf=allowed_udf,
+        crawl_delays=crawl_delays,
+        robots=robots,
     )
-    if cfg.extractor is not None:
-        cfg.extractor.setup(spark, cfg)
-    if cfg.pre_enqueue is not None:
-        cfg.pre_enqueue.setup(spark, cfg)
+    for stage in (cfg.extractor, cfg.pre_enqueue, cfg.writer):
+        if stage is not None:
+            stage.setup(spark, cfg)
     return ctx, CheckpointStore(cfg.job_dir)
 
 
@@ -134,7 +151,7 @@ def crawl(spark: SparkSession, cfg: CrawlConfig, resume: bool = False) -> CrawlR
         if stopped:
             break
 
-    for stage in (cfg.extractor, cfg.pre_enqueue):
+    for stage in (cfg.extractor, cfg.pre_enqueue, cfg.writer):
         if stage is not None:
             stage.teardown()
     return CrawlResult(rounds=r - start_round, visited=visited,

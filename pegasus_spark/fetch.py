@@ -74,6 +74,8 @@ def fetch_and_validate(
     pages: DataFrame,
     host_buckets: int,
     validate: bool = True,
+    selection_count: int | None = None,
+    broadcast_max: int = 2_000_000,
 ) -> DataFrame:
     """Join selected frontier rows against the page store and validate.
 
@@ -89,16 +91,20 @@ def fetch_and_validate(
         "host_bucket",
         F.pmod(F.xxhash64("host"), F.lit(host_buckets)).cast("int"),
     )
-    # The round's selection is always small relative to the page store
-    # (politeness-bounded), so fetch = broadcast the selection INTO the
-    # store (map-side inner join — the store is never shuffled) plus a
-    # broadcast anti-join for 404s. This mirrors the real-world shape:
-    # at 10^10 scale "pages" is HTTP and fetch is a mapInPandas over the
-    # selection only; the page store here is the sandbox network stand-in.
-    inner = pages.join(F.broadcast(salted), "url_hash", "inner")
-    missing = salted.join(
-        F.broadcast(pages.select("url_hash")), "url_hash", "left_anti"
-    )
+    # Size-gated join strategy. Small rounds (the politeness-bounded norm)
+    # broadcast the selection INTO the store — map-side join, the store is
+    # never shuffled. Rounds past broadcast_max rows (10^7-10^8-URL rounds
+    # at the 10^10 design point would blow the broadcast ceiling) fall
+    # back to a co-partitioned shuffle join on url_hash instead. When the
+    # caller doesn't know the count (selection_count=None) it broadcasts:
+    # that path only exists for politeness-bounded selections. At real
+    # scale "pages" is HTTP and fetch is a mapInPandas over the selection
+    # only; the page store here is the sandbox network stand-in.
+    small = selection_count is None or selection_count <= broadcast_max
+    sel_in = F.broadcast(salted) if small else salted
+    keys_in = F.broadcast(pages.select("url_hash")) if small else pages.select("url_hash")
+    inner = pages.join(sel_in, "url_hash", "inner")
+    missing = salted.join(keys_in, "url_hash", "left_anti")
     joined = inner.unionByName(missing, allowMissingColumns=True)
     if validate:
         joined = joined.withColumn(

@@ -182,7 +182,48 @@ def generate_web(p: WebParams) -> dict[str, pd.DataFrame]:
         else:
             seed_urls.append(f"http://{th}/p/{t}")
     seeds = pd.DataFrame({"url": seed_urls, "priority": np.zeros(len(seed_urls), dtype=np.int32)})
-    return {"pages": pages, "seeds": seeds, "robots_txt": robots}
+
+    # robots_raw: the same rules rendered as raw robots.txt bodies — the
+    # network stand-in for the discover mode's robots-fetch sub-batch.
+    # Host k≡1 (mod 3) exercises user-agent group selection: the true
+    # rules live under our product token, a deny-all group under '*' —
+    # a parser that ignores UA specificity denies the whole host and
+    # breaks crawl parity. Every body also carries a decoy 'evilbot'
+    # deny-all group; host k≡2 (mod 3) gets no robots.txt at all (404 →
+    # allow-all must equal its allow-all parsed row).
+    raw_hosts, raw_bodies = [], []
+    for k in range(p.n_hosts):
+        if k % 3 == 2 and r_rules[k] == [{"allow": True, "prefix": "/"}] and r_crawl_delay[k] is None:
+            continue  # 404 host (only safe when its rules are allow-all)
+        raw_hosts.append(hosts[k])
+        raw_bodies.append(render_robots_txt(
+            r_rules[k], r_crawl_delay[k],
+            ua_specific=(k % 3 == 1),
+        ))
+    robots_raw = pd.DataFrame({"host": raw_hosts, "body": raw_bodies})
+
+    return {"pages": pages, "seeds": seeds, "robots_txt": robots,
+            "robots_raw": robots_raw}
+
+
+def render_robots_txt(rules: list[dict], crawl_delay_ms: int | None,
+                      ua_specific: bool = False,
+                      ua_token: str = "pegasus-spark") -> str:
+    """Render parsed rules back to robots.txt text such that
+    ``parse_robots_text(render(...)) == (delay, sorted rules)``."""
+    lines = ["# synthetic fixture robots.txt", "User-agent: evilbot",
+             "Disallow: /", ""]
+    lines.append(f"User-agent: {ua_token}" if ua_specific else "User-agent: *")
+    for r in rules:
+        key = "Allow" if r["allow"] else "Disallow"
+        lines.append(f"{key}: {r['prefix']}")
+    if crawl_delay_ms is not None:
+        lines.append(f"Crawl-delay: {crawl_delay_ms / 1000:g}")
+    if ua_specific:
+        # deny-all fallback group: correct UA selection must prefer the
+        # specific group above
+        lines += ["", "User-agent: *", "Disallow: /"]
+    return "\n".join(lines) + "\n"
 
 
 _ROBOTS_ARROW = pa.schema([

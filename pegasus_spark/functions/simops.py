@@ -66,6 +66,55 @@ def lsh_bucket_udf(dim: int, n_planes: int = 16, seed: int = 42):
     return bucket
 
 
+def rademacher_signs(dim: int, n_planes: int = 8) -> list[list[int]]:
+    """Deterministic ±1 sign planes from md5(j|i) parity — sparse random
+    projections (Achlioptas-style), reproducible without numpy RNG state
+    so the exact same planes can be rendered into an ANSI-SQL oracle."""
+    import hashlib
+
+    return [
+        [1 if hashlib.md5(f"{j}|{i}".encode()).digest()[0] & 1 else -1
+         for i in range(dim)]
+        for j in range(n_planes)
+    ]
+
+
+def signed_projection_bucket(df: DataFrame, dim: int, n_planes: int = 8,
+                             vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """LSH bucket id via ±1 projections in EXACT integer arithmetic —
+    JVM built-ins only, no UDF, no higher-order folds.
+
+    Elements are quantized to q = round(v·10⁶) (a double times 10⁶ is
+    never exactly half-integral, so round() is engine-agnostic); the
+    projection is Σ s_ij·q_i — an int64 sum, associative and therefore
+    bit-identical across engines regardless of summation order. This is
+    the oracle-checkable twin of ``lsh_bucket_udf`` (whose float64 matmul
+    sign can differ from a sequential SQL sum in the last ulp).
+
+    Physical shape: posexplode once, all planes aggregated in ONE
+    partial-aggregating groupBy (map-side combine) — linear, codegen'd,
+    and the shuffle carries only (id, n_planes sums)."""
+    signs = rademacher_signs(dim, n_planes)
+    q = F.round(F.col("v").cast("double") * 1e6).cast("long")
+    ex = df.select(
+        id_col, F.posexplode(F.col(vec_col)).alias("pos", "v")
+    ).select(id_col, "pos", q.alias("q"))
+    aggs = []
+    for j in range(n_planes):
+        sv = F.array(*[F.lit(int(s)).cast("long") for s in signs[j]])
+        aggs.append(
+            F.sum(F.col("q") * F.element_at(sv, F.col("pos") + 1)).alias(f"_p{j}")
+        )
+    acc = ex.groupBy(id_col).agg(*aggs)
+    one = F.lit(1).cast("long")
+    bucket = F.lit(0).cast("long")
+    for j in range(n_planes):
+        bucket = bucket + F.when(F.col(f"_p{j}") > 0, F.shiftleft(one, j)).otherwise(
+            F.lit(0).cast("long")
+        )
+    return df.join(acc.select(id_col, bucket.alias("bucket")), id_col)
+
+
 def lsh_bucket_topk(df: DataFrame, query_vec: list[float], k: int = 10,
                     vec_col: str = "embedding", id_col: str = "vec_id",
                     n_planes: int = 8, seed: int = 42) -> DataFrame:
@@ -114,36 +163,37 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.3,
     )
 
 
-def simhash64(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """64-bit SimHash of whitespace tokens (vectorized pandas UDF:
-    per-token 64-bit hashes via numpy, sign-summed per doc)."""
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash of whitespace tokens — 100% JVM-side built-ins.
 
-    @F.pandas_udf(LongType())
-    def sh(texts: pd.Series) -> pd.Series:
-        out = np.zeros(len(texts), dtype=np.int64)
-        bit_idx = np.arange(64, dtype=np.uint64)
-        for i, t in enumerate(texts):
-            toks = np.array((t or "").lower().split(), dtype=object)
-            if len(toks) == 0:
-                continue
-            hs = np.array([hash_token(x) for x in toks], dtype=np.uint64)
-            bits = ((hs[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.int64)
-            acc = (2 * bits - 1).sum(axis=0)
-            v = np.uint64(0)
-            for b in range(64):
-                if acc[b] > 0:
-                    v |= np.uint64(1) << np.uint64(b)
-            out[i] = np.int64(v)
-        return pd.Series(out)
+    explode(tokens) → ``xxhash64`` per token → 64 sign-sum aggregations
+    (one partial-aggregating shuffle on ``id_col``) → bits assembled with
+    shift/when arithmetic. Round 1 ran a per-token pure-Python FNV loop
+    inside a pandas UDF; per-token Python was the real cost at scale —
+    this keeps the whole operator inside whole-stage codegen except the
+    final (tiny, P-bounded) aggregation. Token multiplicity is preserved
+    (classic frequency-weighted SimHash)."""
+    from .textops import tokens
 
-    def hash_token(tok: str) -> int:
-        # FNV-1a 64 — deterministic across processes (unlike Python hash())
-        h = 0xCBF29CE484222325
-        for ch in tok.encode("utf-8"):
-            h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-        return h
-
-    return df.withColumn("simhash", sh(F.col(text_col)))
+    ex = (
+        df.select(id_col, F.explode(tokens(F.col(text_col))).alias("_t"))
+        .where(F.col("_t") != "")
+        .select(id_col, F.xxhash64("_t").alias("_h"))
+    )
+    one = F.lit(1).cast("long")
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("_h"), b).bitwiseAND(one) == 1, 1).otherwise(-1)
+        ).alias(f"_s{b}")
+        for b in range(64)
+    ]
+    acc = ex.groupBy(id_col).agg(*aggs)
+    sig = None
+    for b in range(64):
+        bit = F.when(F.col(f"_s{b}") > 0, F.shiftleft(one, b)).otherwise(F.lit(0).cast("long"))
+        sig = bit if sig is None else sig + bit
+    sigs = acc.select(id_col, sig.alias("simhash"))
+    return df.join(sigs, id_col, "left").fillna({"simhash": 0})
 
 
 def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",

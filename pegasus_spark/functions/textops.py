@@ -101,22 +101,42 @@ def _md5_int(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
+# universal-hash family for minhash: mh_i = (a_i·h + b_i) mod p over the
+# ONE 32-bit md5 int per shingle. p = 2^31-1 (Mersenne); a_i < 2^30 keeps
+# a·h < 2^62 — no int64 overflow in either engine, so the exact same
+# arithmetic is DuckDB-expressible (oracle parity). Round 1 computed 8
+# full md5s per shingle; this mixes 8 seeds out of one md5 → 8× less
+# hashing on the hot path.
+MINHASH_P = 2147483647
+MINHASH_AB = [
+    (1000003, 12345), (999983, 54321), (823117, 98765), (611953, 13579),
+    (500009, 24680), (399989, 86420), (299993, 11111), (179909, 99999),
+    (161009, 77777), (143963, 55555), (121001, 33333), (101111, 22222),
+    (87119, 44444), (75997, 66666), (63809, 88888), (51481, 10101),
+]
+
+
+def _mix(h: Column, i: int) -> Column:
+    a, b = MINHASH_AB[i]
+    return F.pmod(F.lit(a).cast("long") * h + F.lit(b), F.lit(MINHASH_P))
+
+
 def minhash_signature(df: DataFrame, text_col: str = "text", num_hashes: int = 8,
                       shingle_n: int = 3) -> DataFrame:
-    """MinHash signature per document: for seed i, min over shingles of
-    md5-int(seed || shingle). Columns mh0..mh{k-1}. Built-ins only."""
-    # explode + groupBy (not 8 array_min/transform columns): Catalyst's
+    """MinHash signature per document: one md5-int per shingle, k seeds
+    derived by integer mixing, min per seed. Columns mh0..mh{k-1}.
+    Built-ins only."""
+    if num_hashes > len(MINHASH_AB):
+        raise ValueError(f"num_hashes > {len(MINHASH_AB)} needs more mixing constants")
+    # explode + groupBy (not k array_min/transform columns): Catalyst's
     # CollapseProject would inline the shingle-building expression into
     # every mh column, recomputing split/ngrams/distinct per hash seed —
-    # exploding materializes each shingle string exactly once, then the 8
-    # md5-int mins reduce in a single partial-aggregating shuffle
+    # exploding materializes each shingle exactly once, then the k mins
+    # reduce in a single partial-aggregating shuffle
     sh = df.select(
         "doc_id", F.explode(shingles(F.col(text_col), shingle_n)).alias("_s")
-    )
-    aggs = [
-        F.min(_md5_int(F.concat(F.lit(f"{i}|"), F.col("_s")))).alias(f"mh{i}")
-        for i in range(num_hashes)
-    ]
+    ).select("doc_id", _md5_int(F.col("_s")).alias("_h"))
+    aggs = [F.min(_mix(F.col("_h"), i)).alias(f"mh{i}") for i in range(num_hashes)]
     sig = sh.groupBy("doc_id").agg(*aggs)
     return df.join(sig, "doc_id")
 
@@ -154,24 +174,52 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", shingle_n: int = 
                         block_tokens: int = 4, threshold: float = 0.0) -> DataFrame:
     """Blocked n-gram Jaccard near-dup pairs: block on the md5 of the
     first ``block_tokens`` tokens (prefix blocking — candidate pairs only
-    form inside a block, never O(n²)), then exact Jaccard over distinct
-    shingle sets via array_intersect/array_union sizes."""
+    form inside a block, never O(n²)).
+
+    Jaccard is computed WITHOUT shipping shingle arrays through any
+    shuffle (round 1 self-joined full ``array<string>`` shingle sets —
+    23 s at sf0.1 and a string-heavy shuffle at scale): shingles are
+    hashed to int64 once, exploded, and
+    |A∩B| = count of equal (block, hash) rows in a self-join of the
+    exploded form; |A∪B| = |A|+|B|−|A∩B| from a tiny per-doc size table.
+    Every shuffle carries (block, int64, doc_id) rows; all aggregations
+    are partial (map-side combine)."""
     toks = tokens(F.col(text_col))
-    base = df.select(
-        "doc_id",
-        F.md5(F.concat_ws(" ", F.slice(toks, 1, block_tokens))).alias("block"),
-        shingles(F.col(text_col), shingle_n).alias("sh"),
+    ex = (
+        df.select(
+            "doc_id",
+            F.md5(F.concat_ws(" ", F.slice(toks, 1, block_tokens))).alias("block"),
+            F.explode(shingles(F.col(text_col), shingle_n)).alias("_s"),
+        )
+        .select("doc_id", "block", _md5_int(F.col("_s")).alias("h"))
+        # set semantics over the HASHED values (md5-32 collisions merge
+        # identically in the DuckDB oracle, so parity is exact)
+        .dropDuplicates(["doc_id", "h"])
     )
-    a, b = base.alias("a"), base.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    uni = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
-    return (
-        a.join(b, "block")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+    sizes = ex.groupBy("doc_id", "block").agg(F.count("*").alias("n"))
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    pairs = (
+        sa.join(sb, "block")
+        .where(F.col("sa.doc_id") < F.col("sb.doc_id"))
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.round(inter / F.greatest(uni, F.lit(1)), 4).alias("jaccard"),
+            F.col("sa.doc_id").alias("doc_a"), F.col("sb.doc_id").alias("doc_b"),
+            F.col("sa.n").alias("na"), F.col("sb.n").alias("nb"),
+        )
+    )
+    xa, xb = ex.alias("xa"), ex.alias("xb")
+    inter = (
+        xa.join(xb, ["block", "h"])
+        .where(F.col("xa.doc_id") < F.col("xb.doc_id"))
+        .groupBy(F.col("xa.doc_id").alias("doc_a"), F.col("xb.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("ni"))
+    )
+    ni = F.coalesce(F.col("ni"), F.lit(0))
+    return (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a", "doc_b",
+            F.round(ni / F.greatest(F.col("na") + F.col("nb") - ni, F.lit(1)), 4)
+            .alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
     )

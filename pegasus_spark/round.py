@@ -102,10 +102,13 @@ def dedupe_candidates(links: DataFrame) -> DataFrame:
 
 
 class RoundContext:
-    """Per-crawl immutable helpers shared across rounds."""
+    """Per-crawl helpers shared across rounds. ``allowed``/``crawl_delays``
+    are refreshed per round when robots are discovered mid-crawl
+    (``robots`` is a RobotsCache in discover mode, None in preparsed)."""
 
     def __init__(self, spark: SparkSession, cat: ManifestCatalog, seen: SeenSet,
-                 cfg: CrawlConfig, pages: DataFrame, allowed_udf, crawl_delays: DataFrame):
+                 cfg: CrawlConfig, pages: DataFrame, allowed_udf, crawl_delays: DataFrame,
+                 robots=None):
         self.spark = spark
         self.cat = cat
         self.seen = seen
@@ -113,11 +116,21 @@ class RoundContext:
         self.pages = pages
         self.allowed = allowed_udf
         self.crawl_delays = crawl_delays
+        self.robots = robots
 
 
 def enqueue_new(ctx: RoundContext, cand: DataFrame, discovered_round: int) -> tuple[int, int, int]:
     """Robots-gate, seen-gate, append to frontier+seen.
     Returns (n_enqueued, dropped_robots, dropped_seen)."""
+    if ctx.robots is not None:
+        # discover mode: robots-fetch sub-batch for hosts first seen in
+        # this candidate set (pegasus fetches robots.txt the first time a
+        # host is touched). Every frontier row passes through here, so
+        # the schedule stage downstream never sees an unknown host.
+        cand = cand.persist()
+        ctx.robots.ensure(cand.select("host"), discovered_round)
+        ctx.allowed = ctx.robots.allowed_udf()
+        ctx.crawl_delays = ctx.robots.crawl_delays()
     # every count rides the single frontier-append job via observe() —
     # filter_new is single-branch by design (see SeenSet.filter_new), so
     # each observed node appears exactly once in the plan
@@ -150,6 +163,8 @@ def enqueue_new(ctx: RoundContext, cand: DataFrame, discovered_round: int) -> tu
     if n_new:
         ctx.seen.add(new.select("url_hash"))
     new.unpersist()
+    if ctx.robots is not None:
+        cand.unpersist()
     return n_new, n_uniq - n_allowed, n_allowed - n_new
 
 
@@ -198,6 +213,12 @@ def run_round(ctx: RoundContext, r: int, visited_total: int) -> dict:
     cfg = ctx.cfg
     W = cfg.round_width
     round_start, round_end = r * W, (r + 1) * W
+
+    if ctx.robots is not None:
+        # re-bind to the robots table's current version (fresh ctx after
+        # resume; rows appended by earlier rounds' sub-batches)
+        ctx.crawl_delays = ctx.robots.crawl_delays()
+        ctx.allowed = ctx.robots.allowed_udf()
 
     frontier = ctx.cat.read("frontier")
     fetched_hashes = ctx.cat.read("corpus").select("url_hash")
@@ -248,7 +269,9 @@ def run_round(ctx: RoundContext, r: int, visited_total: int) -> dict:
 
     # --- fetch + validate (salted by host_bucket) ---
     fetched = fetch_and_validate(
-        selected, ctx.pages, cfg.host_buckets, cfg.validate_payloads
+        selected, ctx.pages, cfg.host_buckets, cfg.validate_payloads,
+        selection_count=n_sel if n_sel >= 0 else None,
+        broadcast_max=cfg.fetch_broadcast_max,
     ).persist()
 
     # per-bucket lineage counts ride the corpus write via observe():
@@ -264,6 +287,14 @@ def run_round(ctx: RoundContext, r: int, visited_total: int) -> dict:
         F.lit(r).cast("int").alias("fetch_round"),
         "fetch_vt", "valid", "psnr",
     )
+    if cfg.writer is not None:
+        # pegasus's :writer plug point (default-writer-fn override): the
+        # user stage transforms corpus rows before the append (e.g. a
+        # thumbnail-only corpus rewrites `bytes`). Contract: keep the
+        # corpus schema and row set — url_hash rows drive the visited
+        # bookkeeping (pending = frontier ⟕̸ corpus), so filtering rows
+        # here would cause refetches
+        corpus_rows = cfg.writer.apply(corpus_rows)
     ctx.cat.append("corpus", corpus_rows)
     bucket_counts = _obs_get(obs, lambda: {f"b{i}": 0 for i in range(cfg.host_buckets)})
     if obs_s is not None:

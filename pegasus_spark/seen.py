@@ -14,40 +14,49 @@ Replaces shriphani/pegasus's LMDB visited-cache (``src/pegasus/cache.clj``
   partition reached its fpp capacity (the cuckoo-overflow role). When
   the overflow grows past a threshold, the partition's bloom is rebuilt
   at 2× m from the exact ``seen`` partition (executor-side).
-- ``probe``: Arrow-batched pandas UDF against broadcast bloom bytes —
-  rows the bloom rejects are *definitely new* and skip the exact
-  anti-join entirely; only "maybe seen" rows pay the join.
+- ``probe``: candidates are co-grouped with their own bloom row by
+  ``part_id`` (grouped-map ``applyInPandas`` over a cogroup) — rows the
+  bloom rejects are *definitely new* and skip the exact anti-join
+  entirely; only "maybe seen" rows pay the join.
 
-Scale math (10^10 URLs, SURVEY.md §7.3): P partitions of m bits each,
-m ≤ 64 MB/partition → P = 2048 × 48 MB blooms holds 10^10 keys at
-fpp ≈ 1%. Blooms live in a table and broadcast per round; the exact
-table is only touched via co-partitioned anti-joins — nothing
-driver-side grows with the frontier (the driver holds P bloom rows,
-never URL rows). Merge/rebuild are grouped-map ``applyInPandas`` per
-part_id on executors, returning P small rows.
+Scale invariant (10^10 URLs, SURVEY.md §7.3; P = 2048 × 48 MB blooms =
+~96 GB total state): **bloom bytes never touch the driver.** Probe and
+merge are co-partitioned executor-side passes — each task holds exactly
+one bloom partition plus its candidate/new-hash group; merged blooms are
+written back by the executors (``df`` overwrite commit). The only values
+the driver ever sees from this subsystem are O(P) scalar counters
+(overflow sizes for the rebuild decision).
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-import pyarrow as pa
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Observation, functions as F
+from pyspark.sql.types import BooleanType, StructField, StructType
 
 from .hashing import bloom_indexes
 from .tables import ManifestCatalog
 
 SEEN_DDL = "url_hash long, part_id int"
 BLOOM_DDL = "part_id int, m_bits long, bloom binary, n_items long, overflow binary"
-BLOOM_ARROW = pa.schema([
-    ("part_id", pa.int32()), ("m_bits", pa.int64()), ("bloom", pa.binary()),
-    ("n_items", pa.int64()), ("overflow", pa.binary()),
-])
 
 
 def _set_bits(bits: np.ndarray, hashes: np.ndarray, m_bits: int, k: int) -> None:
     idx = bloom_indexes(hashes, m_bits, k)
     np.bitwise_or.at(bits, idx >> 3, (1 << (idx & 7)).astype(np.uint8))
+
+
+def _bloom_state(bloom_pdf: pd.DataFrame, m_default: int) -> tuple[int, np.ndarray, np.ndarray, int]:
+    """Unpack a (≤1-row) bloom partition group → (m_bits, bits, ovf, n)."""
+    if len(bloom_pdf):
+        r = bloom_pdf.iloc[0]
+        m_bits = int(r["m_bits"])
+        bits = np.frombuffer(r["bloom"], dtype=np.uint8)
+        ovf = (np.frombuffer(r["overflow"], dtype=np.int64)
+               if len(r["overflow"]) else np.empty(0, dtype=np.int64))
+        return m_bits, bits, ovf, int(r["n_items"])
+    return m_default, np.zeros(m_default // 8, dtype=np.uint8), np.empty(0, dtype=np.int64), 0
 
 
 class SeenSet:
@@ -74,61 +83,47 @@ class SeenSet:
     def with_part_id(self, df: DataFrame, col: str = "url_hash") -> DataFrame:
         return df.withColumn("part_id", F.pmod(F.col(col), F.lit(self.n_parts)).cast("int"))
 
-    # ---- state ------------------------------------------------------
-    def _load_blooms(self) -> dict[int, dict]:
-        rows = self.cat.read("bloom").collect()  # ≤ P rows by design
-        out = {}
-        for r in rows:
-            out[r["part_id"]] = {
-                "m_bits": int(r["m_bits"]),
-                "bits": np.frombuffer(r["bloom"], dtype=np.uint8),
-                "ovf": np.frombuffer(r["overflow"], dtype=np.int64)
-                if r["overflow"] else np.empty(0, dtype=np.int64),
-                "n_items": int(r["n_items"]),
-            }
-        return out
-
-    def _store_blooms(self, blooms: dict[int, dict]) -> None:
-        rows = [
-            {
-                "part_id": pid,
-                "m_bits": e["m_bits"],
-                "bloom": e["bits"].tobytes(),
-                "n_items": e["n_items"],
-                "overflow": e["ovf"].tobytes(),
-            }
-            for pid, e in sorted(blooms.items())
-        ]
-        self.cat.overwrite_local("bloom", pa.Table.from_pylist(rows, schema=BLOOM_ARROW))
-
     # ---- probe ------------------------------------------------------
     def split_maybe_seen(self, df: DataFrame, col: str = "url_hash") -> DataFrame:
         """Adds ``maybe_seen:boolean``. False ⇒ definitely not in the set
-        (bloom guarantee); True ⇒ must be checked against ``seen``."""
-        blooms = self._load_blooms()
-        if not blooms:
+        (bloom guarantee); True ⇒ must be checked against ``seen``.
+
+        Executor-side: candidates are shuffled to their ``part_id`` and
+        co-grouped with that partition's single bloom row, so each task
+        probes against exactly one bloom — no driver collect, no
+        full-bloom-set broadcast (the round-1 design funneled all bloom
+        bytes through the driver; at 2048×48 MB that is a driver OOM)."""
+        if self.cat.is_empty("bloom"):
             return df.withColumn("maybe_seen", F.lit(False))
-        b = self.cat.spark.sparkContext.broadcast(blooms)
-        n_parts, k = self.n_parts, self.k
+        added_part = "part_id" not in df.columns
+        cand = self.with_part_id(df, col) if added_part else df
+        bloom_df = self.cat.read("bloom")
+        out_schema = StructType(
+            cand.schema.fields + [StructField("maybe_seen", BooleanType())]
+        )
+        out_cols = [f.name for f in out_schema.fields]
+        k, m_default = self.k, self.m_bits
 
-        @F.pandas_udf("boolean")
-        def might_contain(h: pd.Series) -> pd.Series:
-            hv = h.to_numpy(dtype=np.int64)
-            parts = np.mod(hv, n_parts)
-            res = np.zeros(len(hv), dtype=bool)
-            for pid in np.unique(parts):
-                e = b.value.get(int(pid))
-                if e is None:
-                    continue
-                mask = parts == pid
-                idx = bloom_indexes(hv[mask], e["m_bits"], k)
-                hit = ((e["bits"][idx >> 3] >> (idx & 7)) & 1).all(axis=1)
-                if len(e["ovf"]):
-                    hit |= np.isin(hv[mask], e["ovf"])
-                res[mask] = hit
-            return pd.Series(res)
+        def probe(_key: tuple, cdf: pd.DataFrame, bdf: pd.DataFrame) -> pd.DataFrame:
+            res = cdf.copy()
+            if len(bdf) == 0:
+                res["maybe_seen"] = False
+                return res[out_cols]
+            m_bits, bits, ovf, _n = _bloom_state(bdf, m_default)
+            hv = cdf[col].to_numpy(dtype=np.int64)
+            idx = bloom_indexes(hv, m_bits, k)
+            hit = ((bits[idx >> 3] >> (idx & 7)) & 1).all(axis=1)
+            if len(ovf):
+                hit |= np.isin(hv, ovf)
+            res["maybe_seen"] = hit
+            return res[out_cols]
 
-        return df.withColumn("maybe_seen", might_contain(F.col(col)))
+        probed = (
+            cand.groupBy("part_id")
+            .cogroup(bloom_df.groupBy("part_id"))
+            .applyInPandas(probe, schema=out_schema)
+        )
+        return probed.drop("part_id") if added_part else probed
 
     def filter_new(self, df: DataFrame, col: str = "url_hash") -> DataFrame:
         """Exact 'not in seen set' filter: bloom prefilter + ONE anti-join
@@ -148,60 +143,76 @@ class SeenSet:
     # ---- update -----------------------------------------------------
     def add(self, new_hashes: DataFrame, col: str = "url_hash") -> None:
         """Insert distinct, not-yet-present hashes: append to the exact
-        table; OR-merge the blooms per partition executor-side."""
+        table; OR-merge the blooms per partition executor-side (cogroup
+        of new hashes × bloom rows on ``part_id``) and write the merged
+        bloom table back from the executors. The driver learns only ONE
+        scalar (max overflow bytes, via ``observe`` riding the write) to
+        decide whether any partition needs a rebuild."""
         hdf = self.with_part_id(new_hashes.select(F.col(col).alias("url_hash"))).persist()
         self.cat.append("seen", hdf)
 
-        blooms = self._load_blooms()
-        b = self.cat.spark.sparkContext.broadcast(blooms)
+        bloom_df = self.cat.read("bloom")
         m_default, k = self.m_bits, self.k
 
-        def merge(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        def merge(key: tuple, new_pdf: pd.DataFrame, bloom_pdf: pd.DataFrame) -> pd.DataFrame:
             pid = int(key[0])
-            hv = pdf["url_hash"].to_numpy(dtype=np.int64)
-            e = b.value.get(pid)
-            if e is None:
-                e = {"m_bits": m_default,
-                     "bits": np.zeros(m_default // 8, dtype=np.uint8),
-                     "ovf": np.empty(0, dtype=np.int64), "n_items": 0}
-            bits = e["bits"].copy()
-            room = max(0, int(e["m_bits"] * 0.693 / k) - e["n_items"])
-            into_bloom, into_ovf = hv[:room], hv[room:]
-            if len(into_bloom):
-                _set_bits(bits, into_bloom, e["m_bits"], k)
-            ovf = np.concatenate([e["ovf"], into_ovf]) if len(into_ovf) else e["ovf"]
+            m_bits, bits, ovf, n_items = _bloom_state(bloom_pdf, m_default)
+            hv = new_pdf["url_hash"].to_numpy(dtype=np.int64)
+            if len(hv):
+                bits = bits.copy()
+                room = max(0, int(m_bits * 0.693 / k) - n_items)
+                into_bloom, into_ovf = hv[:room], hv[room:]
+                if len(into_bloom):
+                    _set_bits(bits, into_bloom, m_bits, k)
+                if len(into_ovf):
+                    ovf = np.concatenate([ovf, into_ovf])
+                n_items += len(hv)
             return pd.DataFrame({
-                "part_id": [pid], "m_bits": [e["m_bits"]], "bloom": [bits.tobytes()],
-                "n_items": [e["n_items"] + len(hv)], "overflow": [ovf.tobytes()],
+                "part_id": [pid], "m_bits": [m_bits], "bloom": [bits.tobytes()],
+                "n_items": [n_items], "overflow": [ovf.tobytes()],
             })
 
-        merged = hdf.groupBy("part_id").applyInPandas(merge, schema=BLOOM_DDL)
-        new_rows = {int(r["part_id"]): r for r in merged.collect()}  # ≤ P rows
+        # cogroup emits the union of part_ids: partitions with no new
+        # hashes pass through unchanged, new partitions start fresh —
+        # so the overwrite is always the complete bloom table
+        merged = (
+            hdf.groupBy("part_id")
+            .cogroup(bloom_df.groupBy("part_id"))
+            .applyInPandas(merge, schema=BLOOM_DDL)
+        )
+        obs = Observation()
+        merged = merged.observe(obs, F.max(F.octet_length("overflow")).alias("max_ovf"))
+        self.cat.overwrite("bloom", merged)
         hdf.unpersist()
-        for pid, r in new_rows.items():
-            blooms[pid] = {
-                "m_bits": int(r["m_bits"]),
-                "bits": np.frombuffer(r["bloom"], dtype=np.uint8),
-                "ovf": np.frombuffer(r["overflow"], dtype=np.int64)
-                if r["overflow"] else np.empty(0, dtype=np.int64),
-                "n_items": int(r["n_items"]),
-            }
-        self._store_blooms(blooms)
-        self._rebuild_overflowed(blooms)
+        try:
+            max_ovf = int(obs.get["max_ovf"] or 0)
+        except Exception:  # AQE may elide CollectMetrics on empty relations
+            max_ovf = int(
+                self.cat.read("bloom").agg(
+                    F.max(F.octet_length("overflow")).alias("m")
+                ).collect()[0]["m"] or 0
+            )
+        if max_ovf // 8 > self.overflow_rebuild:
+            self._rebuild_overflowed()
 
-    def _rebuild_overflowed(self, blooms: dict[int, dict]) -> None:
+    def _rebuild_overflowed(self) -> None:
         """Partitions whose overflow passed the threshold get a fresh
-        bloom at 2× m rebuilt from the exact seen partition."""
-        over_ids = [pid for pid, e in blooms.items() if len(e["ovf"]) > self.overflow_rebuild]
-        if not over_ids:
+        bloom at 2× m rebuilt from the exact seen partition — grouped-map
+        executor-side; the driver collects only (part_id, m_bits) ints."""
+        bloom_df = self.cat.read("bloom")
+        over = {
+            int(r["part_id"]): int(r["m_bits"]) * 2
+            for r in bloom_df
+            .filter(F.octet_length("overflow") / 8 > self.overflow_rebuild)
+            .select("part_id", "m_bits").collect()
+        }
+        if not over:
             return
-        new_m = {pid: blooms[pid]["m_bits"] * 2 for pid in over_ids}
-        nm_b = self.cat.spark.sparkContext.broadcast(new_m)
         k = self.k
 
         def rebuild(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
             pid = int(key[0])
-            m_bits = nm_b.value[pid]
+            m_bits = over[pid]
             hv = pdf["url_hash"].to_numpy(dtype=np.int64)
             bits = np.zeros(m_bits // 8, dtype=np.uint8)
             _set_bits(bits, hv, m_bits, k)
@@ -210,12 +221,12 @@ class SeenSet:
                 "n_items": [len(hv)], "overflow": [b""],
             })
 
-        seen = self.cat.read("seen").filter(F.col("part_id").isin(over_ids))
-        for r in seen.groupBy("part_id").applyInPandas(rebuild, schema=BLOOM_DDL).collect():
-            blooms[int(r["part_id"])] = {
-                "m_bits": int(r["m_bits"]),
-                "bits": np.frombuffer(r["bloom"], dtype=np.uint8),
-                "ovf": np.empty(0, dtype=np.int64),
-                "n_items": int(r["n_items"]),
-            }
-        self._store_blooms(blooms)
+        over_ids = list(over)
+        rebuilt = (
+            self.cat.read("seen")
+            .filter(F.col("part_id").isin(over_ids))
+            .groupBy("part_id")
+            .applyInPandas(rebuild, schema=BLOOM_DDL)
+        )
+        keep = bloom_df.filter(~F.col("part_id").isin(over_ids))
+        self.cat.overwrite("bloom", keep.unionByName(rebuilt))

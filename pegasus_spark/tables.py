@@ -66,6 +66,11 @@ class ManifestCatalog:
         with open(self._mpath(name, version)) as f:
             return json.load(f)
 
+    def is_empty(self, name: str) -> bool:
+        """True if the table has never been written (no data dirs in the
+        current manifest). Manifest-only — costs no Spark job."""
+        return not self._manifest(name)["dirs"]
+
     def current_version(self, name: str) -> int:
         with open(os.path.join(self._mdir(name), "CURRENT")) as f:
             return int(f.read().strip())

@@ -29,6 +29,68 @@ class SameHostOnly(Stage):
         return df.filter(F.col("host").isin(self.hosts))
 
 
+class ThumbnailWriter(Stage):
+    """Corpus writer override (pegasus's :writer / default-writer-fn):
+    strip payload bytes, stamp the caption — schema-preserving value
+    transform, rows untouched."""
+
+    name = "thumbnail-writer"
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        return df.withColumn("bytes", F.lit(None).cast("binary")).withColumn(
+            "caption", F.concat(F.lit("thumb:"), F.coalesce("caption", F.lit("")))
+        )
+
+
+def test_writer_plug_point_transforms_corpus(spark):
+    tmp = tempfile.mkdtemp()
+    try:
+        params = WebParams(seed=23, n_pages=120, n_hosts=6, n_seeds=2)
+        web = generate_web(params)
+        write_web(web, f"{tmp}/web")
+        cfg = CrawlConfig(web_dir=f"{tmp}/web", job_dir=f"{tmp}/job",
+                          seen_parts=4, corpus_size=30, writer=ThumbnailWriter())
+        res = crawl(spark, cfg)
+        assert res.visited == 30
+        cat = ManifestCatalog(spark, f"{tmp}/job")
+        corpus = cat.read("corpus")
+        assert corpus.count() == 30
+        assert corpus.filter(F.col("bytes").isNotNull()).count() == 0
+        assert corpus.filter(~F.col("caption").startswith("thumb:")).count() == 0
+        # visited bookkeeping intact: resume continues cleanly
+        cfg2 = CrawlConfig(web_dir=f"{tmp}/web", job_dir=f"{tmp}/job",
+                           seen_parts=4, corpus_size=30, writer=ThumbnailWriter())
+        assert crawl(spark, cfg2, resume=True).stop_reason == "corpus_size"
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_fetch_shuffle_join_path_matches_broadcast(spark):
+    """Force the size-gated fetch past its broadcast ceiling
+    (fetch_broadcast_max=0 → co-partitioned shuffle join) and require the
+    exact same corpus as the broadcast path."""
+    tmp = tempfile.mkdtemp()
+    try:
+        params = WebParams(seed=31, n_pages=150, n_hosts=6, n_seeds=3)
+        web = generate_web(params)
+        write_web(web, f"{tmp}/web")
+        outs = []
+        for name, bmax in (("bc", 2_000_000), ("sh", 0)):
+            cfg = CrawlConfig(web_dir=f"{tmp}/web", job_dir=f"{tmp}/{name}",
+                              seen_parts=4, corpus_size=40,
+                              fetch_broadcast_max=bmax)
+            res = crawl(spark, cfg)
+            assert res.visited == 40
+            cat = ManifestCatalog(spark, f"{tmp}/{name}")
+            outs.append({
+                tuple(r) for r in cat.read("corpus")
+                .select("url_hash", "fetch_round", "fetch_vt", "valid").collect()
+            })
+        assert outs[0] == outs[1]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_same_host_extractor_restricts_crawl(spark):
     tmp = tempfile.mkdtemp()
     try:

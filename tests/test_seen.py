@@ -72,6 +72,40 @@ def test_overflow_and_rebuild(spark, cat):
     assert s.filter_new(_hashes_df(spark, [5, 1050, 99999])).count() == 1
 
 
+def test_driver_never_materializes_bloom_bytes(spark, cat, monkeypatch):
+    # the 10^10 design point is 2048 partitions × 48 MB of bloom bytes —
+    # probe/merge must stay executor-side. Spy on every driver
+    # materialization (collect/toPandas) during add+probe at P=64 and
+    # assert none of them carries a binary column (bloom bytes).
+    from pyspark.sql import DataFrame
+
+    collected_schemas = []
+    orig_collect, orig_topandas = DataFrame.collect, DataFrame.toPandas
+
+    def spy_collect(self):
+        collected_schemas.append(self.schema)
+        return orig_collect(self)
+
+    def spy_topandas(self):
+        collected_schemas.append(self.schema)
+        return orig_topandas(self)
+
+    monkeypatch.setattr(DataFrame, "collect", spy_collect)
+    monkeypatch.setattr(DataFrame, "toPandas", spy_topandas)
+
+    s = SeenSet(cat, n_parts=64, m_bits=1 << 10, k=3, overflow_rebuild=8)
+    s.add(_hashes_df(spark, range(2000)))          # small m → overflow + rebuild
+    s.add(_hashes_df(spark, range(2000, 2500)))
+    got = {r["url_hash"] for r in s.filter_new(_hashes_df(spark, range(1500, 3000))).collect()}
+    assert got == set(range(2500, 3000))
+    for sch in collected_schemas:
+        assert not any(f.dataType.typeName() == "binary" for f in sch.fields), (
+            f"driver materialized bloom bytes: {sch.simpleString()}"
+        )
+    # and all 64 partitions exist as rows in the bloom table
+    assert cat.read("bloom").select("part_id").distinct().count() == 64
+
+
 def test_incremental_adds_match_bulk(spark, cat, tmp_path):
     s1 = SeenSet(cat, n_parts=2, m_bits=1 << 10, k=3)
     for lo in range(0, 300, 100):
