@@ -49,19 +49,22 @@ def make_spark(cpus: int):
     from pyspark.sql import SparkSession
 
     shuffle_parts = os.environ.get("PEGASUS_SHUFFLE_PARTS", str(max(8, 2 * cpus)))
+    # image rows are fat (~60 KB with pixels_ref): Arrow batch size is the
+    # main memory lever — batches in flight ≈ cpus × rows × row_bytes on
+    # BOTH sides of the JVM/Python pipe. 256 rows ≈ 15 MB/batch.
+    arrow_batch = os.environ.get("PEGASUS_ARROW_BATCH", "256")
+    driver_mem = os.environ.get("PEGASUS_DRIVER_MEM", "48g")
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("pegasus-spark-bench")
         .config("spark.sql.shuffle.partitions", shuffle_parts)
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.driver.memory", "16g")
+        .config("spark.driver.memory", driver_mem)
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", "16m")
-        # image rows are ~30 KB; the 10k-row default would make ~300 MB
-        # Arrow batches per python worker
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", arrow_batch)
         .getOrCreate()
     )
 
@@ -81,6 +84,24 @@ def crawl_bench(spark, n_pages: int, verbose: bool = False,
     from pegasus_spark.crawl import crawl
     from pegasus_spark.fixtures import WebParams, materialize
 
+    if profile == "drain_giant":
+        # ONE giant fetch round (every page seeded, W covers the hottest
+        # host): the per-round driver time a 10^10-URL crawl amortizes to
+        # ~0 is amortized the same way here; decode+validate dominates.
+        # Generated in parallel (materialize_fast) — 96-128px png.
+        from pegasus_spark.fixtures import materialize_fast
+
+        params = WebParams(
+            seed=42, n_pages=n_pages, n_hosts=max(100, n_pages // 10),
+            zipf_s=0.4, fanout=1.0, lossy_frac=0.0, img_min=96, img_max=128,
+            n_seeds=n_pages,
+        )
+        web_dir = materialize_fast(
+            params,
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "fixtures"),
+            procs=16,
+        )
+        return _run_crawl(spark, web_dir, round_width_vt=2_000_000, verbose=verbose)
     if profile == "drain":
         # few huge rounds, png-only payloads (decode cost ≈ real-world
         # jpeg): the steady-state shape of a 10^10-URL frontier drain
@@ -96,11 +117,22 @@ def crawl_bench(spark, n_pages: int, verbose: bool = False,
             n_seeds=max(3, n_pages // 500),
         )
     web_dir = materialize(params, os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "fixtures"))
+    return _run_crawl(
+        spark, web_dir,
+        round_width_vt=4_000_000 if profile == "drain" else 256 * 2000,
+        verbose=verbose,
+    )
+
+
+def _run_crawl(spark, web_dir: str, round_width_vt: int, verbose: bool = False) -> dict:
+    from pegasus_spark.config import CrawlConfig
+    from pegasus_spark.crawl import crawl
+
     job_dir = tempfile.mkdtemp(prefix="pegasus_bench_")
     cfg = CrawlConfig(
         web_dir=web_dir, job_dir=job_dir,
         min_delay_ms=2000,
-        round_width_vt=4_000_000 if profile == "drain" else 256 * 2000,
+        round_width_vt=round_width_vt,
         seen_parts=8, host_buckets=32,
     )
     t0 = time.monotonic()
@@ -108,6 +140,10 @@ def crawl_bench(spark, n_pages: int, verbose: bool = False,
     wall = time.monotonic() - t0
     shutil.rmtree(job_dir, ignore_errors=True)
     urls_processed = res.visited + sum(s["enqueued"] for s in res.round_stats)
+    laps: dict[str, float] = {}
+    for s in res.round_stats:
+        for k, v in s.get("laps", {}).items():
+            laps[k] = round(laps.get(k, 0.0) + v, 2)
     out = {
         "crawl_sec": round(wall, 2),
         "urls_fetched": res.visited,
@@ -115,12 +151,55 @@ def crawl_bench(spark, n_pages: int, verbose: bool = False,
         "urls_per_sec": round(urls_processed / wall, 1),
         "rounds_to_exhaustion": res.rounds,
         "stop_reason": res.stop_reason,
+        "stage_sec": laps,
+        "outside_round_sec": round(wall - sum(s["wall_ms"] for s in res.round_stats) / 1000, 2),
     }
     if verbose:
         for s in res.round_stats:
             print(f"  round {s['round']}: fetched={s['fetched']} enqueued={s['enqueued']} "
-                  f"wall_ms={s['wall_ms']}", file=sys.stderr)
+                  f"wall_ms={s['wall_ms']} laps={s.get('laps')}", file=sys.stderr)
     return out
+
+
+def decode_bench(spark, n_pages: int) -> dict:
+    """Pure DATA-PHASE job: scan the giant fixture's page store, decode +
+    validate every payload (the same Arrow UDF the crawl uses), reduce to
+    a count — no crawl loop, no commits. Isolates the engine's
+    data-parallel scaling from driver coordination."""
+    import pyspark.sql.functions as F
+
+    from pegasus_spark.fetch import validate_payload
+    from pegasus_spark.fixtures import WebParams, materialize_fast
+
+    params = WebParams(
+        seed=42, n_pages=n_pages, n_hosts=max(100, n_pages // 10),
+        zipf_s=0.4, fanout=1.0, lossy_frac=0.0, img_min=96, img_max=128,
+        n_seeds=n_pages,
+    )
+    web_dir = materialize_fast(
+        params,
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "fixtures"),
+        procs=16,
+    )
+    pages = spark.read.parquet(f"{web_dir}/pages.parquet").select(
+        "bytes", "fmt", "w", "h", "pixels_ref", "phash"
+    )
+    t0 = time.monotonic()
+    row = (
+        pages.withColumn(
+            "_v", validate_payload("bytes", "fmt", "w", "h", "pixels_ref", "phash")
+        )
+        .agg(F.sum(F.col("_v.valid").cast("long")).alias("n_valid"),
+             F.count("*").alias("n"))
+        .collect()[0]
+    )
+    wall = time.monotonic() - t0
+    assert int(row["n_valid"]) == int(row["n"]), "validation failed in decode bench"
+    return {
+        "decode_sec": round(wall, 2),
+        "images": int(row["n"]),
+        "images_per_sec": round(int(row["n"]) / wall, 1),
+    }
 
 
 def query_bench(spark, sf_dir: str) -> dict:
@@ -146,6 +225,13 @@ def main():
 
     spark = make_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
+
+    if mode == "decode":
+        stats = decode_bench(spark, n_pages)
+        print(json.dumps({"metric": "decode_validate_sec", "unit": "sec",
+                          "value": stats["decode_sec"], "cpus": cpus,
+                          "bench_pages": n_pages, **stats}))
+        return
 
     crawl_stats = crawl_bench(spark, n_pages, profile=profile)
     qtimes = query_bench(spark, sf_dir) if mode == "all" else {}

@@ -242,9 +242,132 @@ def write_web(tables: dict[str, pd.DataFrame], out_dir: str) -> None:
             t = pa.Table.from_pandas(df, preserve_index=False)
         # small row groups keep the file SPLITTABLE: Spark cannot split
         # below a row group, and the default (1Mi rows) would make the
-        # whole page store a single scan/decode task
+        # whole page store a single scan/decode task. use_dictionary=False
+        # because dictionary-encoding unique image blobs makes Spark's
+        # reader materialize a whole-row-group dictionary per task.
         pq.write_table(t, os.path.join(out_dir, f"{name}.parquet"),
-                       row_group_size=2048)
+                       row_group_size=2048, use_dictionary=False)
+
+
+# ---- parallel generator for big scaling fixtures -----------------------
+# The classic generate_web draws every page from ONE rng stream (bit-
+# identical regeneration, but inherently serial). Scaling-evidence
+# fixtures are 10^5-10^6 pages of 96-128px images — serial generation
+# would take longer than the benchmark. generate_web_fast derives an
+# independent child rng per page (seeded by (seed, page index)), so
+# shards are generated and written in parallel with ANY worker count and
+# still reproduce bit-identically. Content differs from generate_web for
+# the same params — it is a distinct, equally deterministic generator.
+
+_FAST = {"p": None, "host_idx": None, "hosts": None, "dims": None,
+         "n_links": None, "out_dir": None}
+
+
+def _fast_shard(args: tuple) -> int:
+    lo, hi, shard_id = args
+    p: WebParams = _FAST["p"]
+    host_idx, hosts, dims, n_links = (
+        _FAST["host_idx"], _FAST["hosts"], _FAST["dims"], _FAST["n_links"])
+    rows = {k: [] for k in ("url", "url_hash", "host", "image_id", "bytes",
+                            "w", "h", "fmt", "caption", "phash", "out_links",
+                            "pixels_ref")}
+    for i in range(lo, hi):
+        rng = np.random.default_rng((p.seed, i))
+        w, h = int(dims[i, 0]), int(dims[i, 1])
+        px = _make_pixels(rng, w, h)
+        url = f"http://{hosts[host_idx[i]]}/p/{i}"
+        uh = xxhash64_str(url)
+        image_id = f"img-{uh & 0xFFFFFFFFFFFFFFFF:016x}"
+        targets = rng.integers(0, p.n_pages, size=n_links[i])
+        rows["url"].append(url)
+        rows["url_hash"].append(uh)
+        rows["host"].append(hosts[host_idx[i]])
+        rows["image_id"].append(image_id)
+        rows["bytes"].append(codec.encode(px, "png"))
+        rows["w"].append(w)
+        rows["h"].append(h)
+        rows["fmt"].append("png")
+        rows["caption"].append(_caption(rng, image_id))
+        rows["phash"].append(codec.phash(px))
+        rows["out_links"].append(
+            [f"http://{hosts[host_idx[int(t)]]}/p/{int(t)}" for t in targets])
+        rows["pixels_ref"].append(px.tobytes())
+    df = pd.DataFrame({
+        **{k: rows[k] for k in rows},
+        "url_hash": np.array(rows["url_hash"], dtype=np.int64),
+        "w": np.array(rows["w"], dtype=np.int32),
+        "h": np.array(rows["h"], dtype=np.int32),
+        "phash": np.array(rows["phash"], dtype=np.int64),
+    })
+    t = pa.Table.from_pandas(df, preserve_index=False)
+    # use_dictionary=False: pyarrow's default dictionary-encodes EVERY
+    # column — for the ~20-40 KB unique binary blobs (bytes, pixels_ref)
+    # that stores each row group as one giant dictionary page, and Spark's
+    # parquet reader then materializes + copies the whole dictionary per
+    # task: measured 6× slowdown at local[32] (allocation/GC churn)
+    pq.write_table(t, os.path.join(_FAST["out_dir"], f"part-{shard_id:05d}.parquet"),
+                   row_group_size=1024, use_dictionary=False)
+    return hi - lo
+
+
+def generate_web_fast(p: WebParams, out_dir: str, procs: int = 16) -> str:
+    """Parallel deterministic fixture writer: pages.parquet becomes a
+    DIRECTORY of shards (Spark and pyarrow read it identically). Drain
+    profile: every page is a seed (plain canonical form), all-png
+    payloads."""
+    from multiprocessing import Pool
+
+    os.makedirs(out_dir, exist_ok=True)
+    pages_dir = os.path.join(out_dir, "pages.parquet")
+    os.makedirs(pages_dir, exist_ok=True)
+    rng = np.random.default_rng(p.seed)
+    hosts = [f"h{k}.example" for k in range(p.n_hosts)]
+    host_idx = _zipf_host_assignment(rng, p.n_pages, p.n_hosts, p.zipf_s)
+    dims = rng.integers(p.img_min, p.img_max + 1, size=(p.n_pages, 2))
+    n_links = rng.poisson(p.fanout, size=p.n_pages)
+
+    _FAST.update(p=p, host_idx=host_idx, hosts=hosts, dims=dims,
+                 n_links=n_links, out_dir=pages_dir)
+    shard = max(512, p.n_pages // (procs * 4))
+    tasks = [(lo, min(lo + shard, p.n_pages), si)
+             for si, lo in enumerate(range(0, p.n_pages, shard))]
+    with Pool(procs) as pool:
+        pool.map(_fast_shard, tasks, chunksize=1)
+
+    n_seeds = min(p.n_seeds, p.n_pages)
+    seed_pages = rng.choice(p.n_pages, size=n_seeds, replace=False)
+    seeds = pd.DataFrame({
+        "url": [f"http://{hosts[host_idx[int(t)]]}/p/{int(t)}" for t in seed_pages],
+        "priority": np.zeros(n_seeds, dtype=np.int32),
+    })
+    pq.write_table(pa.Table.from_pandas(seeds, preserve_index=False),
+                   os.path.join(out_dir, "seeds.parquet"))
+    # allow-all robots (politeness still applies via min_delay)
+    robots = pd.DataFrame({
+        "host": hosts,
+        "crawl_delay_ms": pd.array([None] * p.n_hosts, dtype="Int64"),
+        "rules": [[{"allow": True, "prefix": "/"}] for _ in hosts],
+    })
+    pq.write_table(pa.Table.from_pandas(robots, schema=_ROBOTS_ARROW,
+                                        preserve_index=False),
+                   os.path.join(out_dir, "robots_txt.parquet"))
+    raw = pd.DataFrame({"host": hosts,
+                        "body": [render_robots_txt([{"allow": True, "prefix": "/"}], None)
+                                 for _ in hosts]})
+    pq.write_table(pa.Table.from_pandas(raw, preserve_index=False),
+                   os.path.join(out_dir, "robots_raw.parquet"))
+    return out_dir
+
+
+def materialize_fast(p: WebParams, base_dir: str, procs: int = 16) -> str:
+    out = os.path.join(base_dir, "fast_" + p.tag())
+    marker = os.path.join(out, "_COMPLETE")
+    if os.path.exists(marker):
+        return out
+    generate_web_fast(p, out, procs)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out
 
 
 def materialize(p: WebParams, base_dir: str) -> str:

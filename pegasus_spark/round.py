@@ -195,15 +195,22 @@ _TIMING = os.environ.get("PEGASUS_DEBUG_TIMING") == "1"
 
 
 class _StepTimer:
+    """Per-stage wall clock. Laps are always collected (a handful of
+    monotonic() calls per round) and returned in the round stats, so the
+    bench can report a data-phase vs coordination split; printing stays
+    behind PEGASUS_DEBUG_TIMING."""
+
     def __init__(self, rnd: int):
         self.rnd = rnd
         self.t = time.monotonic()
+        self.laps: dict[str, float] = {}
 
     def lap(self, label: str) -> None:
+        now = time.monotonic()
+        self.laps[label] = self.laps.get(label, 0.0) + (now - self.t)
         if _TIMING:
-            now = time.monotonic()
             print(f"    [r{self.rnd}] {label}: {now - self.t:.2f}s", flush=True)
-            self.t = now
+        self.t = now
 
 
 def run_round(ctx: RoundContext, r: int, visited_total: int) -> dict:
@@ -360,4 +367,5 @@ def run_round(ctx: RoundContext, r: int, visited_total: int) -> dict:
     return {"round": r, "fetched": n_sel, "enqueued": n_enq,
             "dropped_seen": dropped_seen, "dropped_robots": dropped_robots,
             "deferred": n_pending - n_sel, "exhausted": False,
-            "capped": capped, "wall_ms": wall_ms}
+            "capped": capped, "wall_ms": wall_ms,
+            "laps": {k: round(v, 3) for k, v in st_t.laps.items()}}

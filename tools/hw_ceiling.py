@@ -1,0 +1,96 @@
+"""Hardware scaling ceiling — NO Spark involved.
+
+The north rule's ≥0.8 N→4N criterion describes adding MACHINES to a
+cluster. The sandbox stand-in (local[N] vs local[4N] on one VM) adds
+active cores on one socket instead, which on this box measurably lowers
+per-core throughput (all-core frequency/contention): even a plain
+multiprocessing pool doing pure arithmetic or pure image decode cannot
+reach 4× from 4× the workers. This script measures that ceiling so
+BENCH/BASELINE.md can report the engine's efficiency both raw and
+normalized to what the hardware itself delivers.
+
+Workloads:
+- ``arith``: tight integer hash loop (L1-resident, no memory traffic)
+- ``decode``: the engine's real PNG decode+validate kernel (fork-shared
+  input, index-only task transfer — no pipe bottleneck)
+
+Usage: python tools/hw_ceiling.py [levels default 1,4,8,16,32] [reps]
+Writes BENCH/hw_ceiling.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from multiprocessing import Pool
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from pegasus_spark import codec  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+IMGS: list[bytes] = []
+
+
+def arith(i: int) -> int:
+    h = i
+    for _ in range(200_000):
+        h = (h * 1103515245 + 12345) & 0xFFFFFFFFFFFF
+    return h
+
+
+def decode(i: int) -> int:
+    n = 0
+    for j in range(30):
+        n += len(codec.decode(IMGS[(i * 7 + j) % len(IMGS)], "png"))
+    return n
+
+
+def measure(fn, n_tasks: int, procs: int, chunk: int) -> float:
+    with Pool(procs) as p:
+        p.map(fn, range(min(n_tasks, procs * 4)), chunksize=4)  # warm
+        t0 = time.monotonic()
+        p.map(fn, range(n_tasks), chunksize=chunk)
+        return time.monotonic() - t0
+
+
+def main():
+    levels = [int(x) for x in (sys.argv[1].split(",") if len(sys.argv) > 1
+                               else ["1", "4", "8", "16", "32"])]
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+
+    global IMGS
+    rng = np.random.default_rng(2)
+    IMGS = [codec.encode(rng.integers(0, 256, size=(96, 96, 3), dtype=np.uint8), "png")
+            for _ in range(2000)]
+
+    out: dict = {"levels": levels, "reps": reps, "workloads": {}}
+    for name, fn, n_tasks, chunk, unit_per_task in (
+        ("arith", arith, 1600, 8, 1),
+        ("decode", decode, 4000, 32, 30),
+    ):
+        rates: dict[int, list[float]] = {c: [] for c in levels}
+        for _ in range(reps):
+            for procs in levels:  # interleaved
+                dt = measure(fn, n_tasks, procs, chunk)
+                rates[procs].append(n_tasks * unit_per_task / dt)
+        med = {c: sorted(v)[len(v) // 2] for c, v in rates.items()}
+        w = {"throughput": {str(c): round(r, 1) for c, r in med.items()}}
+        for n in levels:
+            if 4 * n in med:
+                w[f"eff_{n}_to_{4*n}"] = round((med[4 * n] / med[n]) / 4, 3)
+        out["workloads"][name] = w
+        print(name, json.dumps(w, indent=2), flush=True)
+
+    path = os.path.join(REPO, "BENCH", "hw_ceiling.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()
