@@ -59,6 +59,9 @@ class CrawlConfig:
     # touched (pegasus's actual behavior), honoring `user_agent` group
     # selection
     robots_mode: str = "preparsed"
+    # cache the page store across rounds (good for many-round BFS crawls;
+    # turn off for few-round drains of stores larger than executor memory)
+    cache_pages: bool = True
     # fetch join strategy: selections up to this many rows broadcast into
     # the page store (map-side join, store never shuffles); larger rounds
     # (10^7-10^8 URLs at design scale would blow the 8 GB broadcast

@@ -39,7 +39,7 @@ from .round import (
 )
 from .seen import SeenSet
 from .tables import CheckpointStore, ManifestCatalog
-from .fetch import load_pages
+from .fetch import load_pages, store_has_lossy
 
 TABLES = ["frontier", "corpus", "hosts", "metrics", "seen", "bloom", "robots"]
 
@@ -77,19 +77,38 @@ def _make_ctx(spark: SparkSession, cfg: CrawlConfig) -> tuple[RoundContext, Chec
         crawl_delays = load_crawl_delays(spark, robots_path)
     else:
         raise ValueError(f"unknown robots_mode {cfg.robots_mode!r}")
+    pages = load_pages(spark, cfg.web_dir)
+    if cfg.cache_pages:
+        pages = pages.persist()
     ctx = RoundContext(
         spark, cat, seen, cfg,
         # the page store is read every round (it stands in for HTTP);
-        # cache it once — on a real crawl this is the network boundary
-        pages=load_pages(spark, cfg.web_dir).persist(),
+        # cached across rounds unless the config says it won't fit
+        pages=pages,
         allowed_udf=allowed_udf,
         crawl_delays=crawl_delays,
         robots=robots,
     )
+    # one fmt-column probe: an all-lossless store lets every fetch prune
+    # the raw pixels_ref column (validation via stored checksums only)
+    ctx.has_lossy = store_has_lossy(ctx.pages)
     for stage in (cfg.extractor, cfg.pre_enqueue, cfg.writer):
         if stage is not None:
             stage.setup(spark, cfg)
     return ctx, CheckpointStore(cfg.job_dir)
+
+
+import os as _os
+import time as _time
+
+_TIMING = _os.environ.get("PEGASUS_DEBUG_TIMING") == "1"
+
+
+def _tlap(t0: float, label: str) -> float:
+    now = _time.monotonic()
+    if _TIMING:
+        print(f"  [crawl] {label}: {now - t0:.2f}s", flush=True)
+    return now
 
 
 def crawl(spark: SparkSession, cfg: CrawlConfig, resume: bool = False) -> CrawlResult:
@@ -101,7 +120,9 @@ def crawl(spark: SparkSession, cfg: CrawlConfig, resume: bool = False) -> CrawlR
             f"job_dir {cfg.job_dir!r} holds a prior crawl's checkpoints; "
             "pass resume=True to continue it or point at a clean job_dir"
         )
+    _t = _time.monotonic()
     ctx, ckpt = _make_ctx(spark, cfg)
+    _t = _tlap(_t, "make_ctx")
     cat = ctx.cat
 
     start_round = 0
@@ -127,6 +148,7 @@ def crawl(spark: SparkSession, cfg: CrawlConfig, resume: bool = False) -> CrawlR
         else:
             seeds_df = spark.read.parquet(f"{cfg.web_dir}/seeds.parquet")
         inject_seeds(ctx, seeds_df)
+        _t = _tlap(_t, "inject_seeds")
         ckpt.save(-1, {"versions": cat.snapshot(TABLES), "visited": 0, "stopped": False})
 
     stop_reason = "max_rounds"

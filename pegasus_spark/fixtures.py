@@ -16,6 +16,7 @@ min-delay; pegasus ``src/pegasus/queue.clj``, symbol cite per SURVEY.md
 
 from __future__ import annotations
 
+import hashlib
 import os
 from dataclasses import dataclass, field
 
@@ -97,7 +98,7 @@ def generate_web(p: WebParams) -> dict[str, pd.DataFrame]:
 
     rows: dict[str, list] = {
         "bytes": [], "fmt": [], "caption": [], "phash": [],
-        "out_links": [], "pixels_ref": [],
+        "out_links": [], "pixels_ref": [], "ref_md5": [],
     }
     for i in range(p.n_pages):
         w, h = int(dims[i, 0]), int(dims[i, 1])
@@ -109,6 +110,7 @@ def generate_web(p: WebParams) -> dict[str, pd.DataFrame]:
         rows["caption"].append(_caption(rng, image_id))
         rows["phash"].append(codec.phash(px))
         rows["pixels_ref"].append(px.tobytes())
+        rows["ref_md5"].append(hashlib.md5(px.tobytes()).hexdigest())
         # out-links in varied surface forms to exercise canonicalization
         targets = rng.integers(0, p.n_pages, size=n_links[i])
         forms = rng.integers(0, 6, size=n_links[i])
@@ -144,6 +146,7 @@ def generate_web(p: WebParams) -> dict[str, pd.DataFrame]:
         "phash": np.array(rows["phash"], dtype=np.int64),
         "out_links": rows["out_links"],
         "pixels_ref": rows["pixels_ref"],
+        "ref_md5": rows["ref_md5"],
     })
 
     # robots: deterministic per-host rules
@@ -270,7 +273,7 @@ def _fast_shard(args: tuple) -> int:
         _FAST["host_idx"], _FAST["hosts"], _FAST["dims"], _FAST["n_links"])
     rows = {k: [] for k in ("url", "url_hash", "host", "image_id", "bytes",
                             "w", "h", "fmt", "caption", "phash", "out_links",
-                            "pixels_ref")}
+                            "pixels_ref", "ref_md5")}
     for i in range(lo, hi):
         rng = np.random.default_rng((p.seed, i))
         w, h = int(dims[i, 0]), int(dims[i, 1])
@@ -292,6 +295,7 @@ def _fast_shard(args: tuple) -> int:
         rows["out_links"].append(
             [f"http://{hosts[host_idx[int(t)]]}/p/{int(t)}" for t in targets])
         rows["pixels_ref"].append(px.tobytes())
+        rows["ref_md5"].append(hashlib.md5(px.tobytes()).hexdigest())
     df = pd.DataFrame({
         **{k: rows[k] for k in rows},
         "url_hash": np.array(rows["url_hash"], dtype=np.int64),
@@ -341,7 +345,7 @@ def generate_web_fast(p: WebParams, out_dir: str, procs: int = 16) -> str:
         "priority": np.zeros(n_seeds, dtype=np.int32),
     })
     pq.write_table(pa.Table.from_pandas(seeds, preserve_index=False),
-                   os.path.join(out_dir, "seeds.parquet"))
+                   os.path.join(out_dir, "seeds.parquet"), row_group_size=2048)
     # allow-all robots (politeness still applies via min_delay)
     robots = pd.DataFrame({
         "host": hosts,

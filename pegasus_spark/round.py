@@ -122,6 +122,7 @@ class RoundContext:
 def enqueue_new(ctx: RoundContext, cand: DataFrame, discovered_round: int) -> tuple[int, int, int]:
     """Robots-gate, seen-gate, append to frontier+seen.
     Returns (n_enqueued, dropped_robots, dropped_seen)."""
+    et = _StepTimer(f"enq{discovered_round}")
     if ctx.robots is not None:
         # discover mode: robots-fetch sub-batch for hosts first seen in
         # this candidate set (pegasus fetches robots.txt the first time a
@@ -154,14 +155,17 @@ def enqueue_new(ctx: RoundContext, cand: DataFrame, discovered_round: int) -> tu
         "src_url_hash",
     )
     ctx.cat.append("frontier", rows)
+    et.lap("frontier_append")
     cf = _obs_get(obs_f, lambda: cand.withColumn(
         "allowed", ctx.allowed(F.col("host"), path_of(F.col("url")))).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("allowed").cast("long")).alias("n_allowed")).collect()[0])
     n_uniq, n_allowed = int(cf["n"]), int(cf["n_allowed"] or 0)
     n_new = int(_obs_get(obs_n, lambda: {"n_new": new.count()})["n_new"])
+    et.lap("obs_counts")
     if n_new:
         ctx.seen.add(new.select("url_hash"))
+    et.lap("seen_add")
     new.unpersist()
     if ctx.robots is not None:
         cand.unpersist()
@@ -175,7 +179,10 @@ def inject_seeds(ctx: RoundContext, seeds: DataFrame) -> tuple[int, int, int]:
         F.col("url").alias("href"),
         (F.col("priority") - F.lit(1)).alias("parent_priority"),  # so +1 = seed priority
         F.lit(None).cast("long").alias("src_url_hash"),
-    )
+    # seed lists often arrive as ONE file/row group → without this the
+    # canonicalize stage runs single-task (a 10^5-seed inject measured
+    # 31 s in one task vs ~2 s spread over the cores)
+    ).repartition(ctx.spark.sparkContext.defaultParallelism)
     cand = dedupe_candidates(canonicalize_links(links))
     return enqueue_new(ctx, cand, discovered_round=0)
 
@@ -275,11 +282,16 @@ def run_round(ctx: RoundContext, r: int, visited_total: int) -> dict:
         capped = True
 
     # --- fetch + validate (salted by host_bucket) ---
+    # NOT persisted: its only consumer is the corpus append. Extraction
+    # reads out_links straight from the page store (below) — persisting
+    # payload-bearing rows would re-materialize GBs per round for a stage
+    # that needs one tiny column.
     fetched = fetch_and_validate(
         selected, ctx.pages, cfg.host_buckets, cfg.validate_payloads,
         selection_count=n_sel if n_sel >= 0 else None,
         broadcast_max=cfg.fetch_broadcast_max,
-    ).persist()
+        has_lossy=getattr(ctx, "has_lossy", None),
+    )
 
     # per-bucket lineage counts ride the corpus write via observe():
     # no extra job for the per-partition metrics breakdown
@@ -310,7 +322,7 @@ def run_round(ctx: RoundContext, r: int, visited_total: int) -> dict:
             F.sum(F.col("selected").cast("long")).alias("n_sel")).collect()[0])
         n_pending, n_sel = int(cs["n"]), int(cs["n_sel"] or 0)
         if n_pending == 0:
-            fetched.unpersist(); sched.unpersist()
+            sched.unpersist()
             wall_ms = int((time.monotonic() - t_start) * 1000)
             ctx.cat.append_local("metrics", _metrics_table([(r, -1, 0, 0, 0, 0, 0, wall_ms)]))
             return {"round": r, "fetched": 0, "enqueued": 0, "dropped_seen": 0,
@@ -318,20 +330,32 @@ def run_round(ctx: RoundContext, r: int, visited_total: int) -> dict:
                     "capped": False, "wall_ms": wall_ms}
     st_t.lap("fetch+validate+corpus_append")
 
-    # --- extract/enqueue and host-clock update are INDEPENDENT given the
-    # materialized fetched cache: submit them as concurrent Spark jobs
-    # (two driver threads) — the driver's serial coordination path is the
-    # scaling bottleneck at small round sizes, and concurrent submission
-    # overlaps it. Both write to different tables (frontier/seen vs
-    # hosts), and catalog commits are per-table, so this is safe.
+    # --- extract/enqueue and host-clock update are INDEPENDENT: submit
+    # them as concurrent Spark jobs (two driver threads) — the driver's
+    # serial coordination path is the scaling bottleneck at small round
+    # sizes, and concurrent submission overlaps it. Both write to
+    # different tables (frontier/seen vs hosts), and catalog commits are
+    # per-table, so this is safe.
     def _do_enqueue():
         if capped:  # pegasus stops consuming docs once corpus-size trips
             return 0, 0, 0
-        links = fetched.filter(F.col("out_links").isNotNull()).select(
-            F.col("url").alias("base_url"),
-            F.col("priority").alias("parent_priority"),
-            F.col("url_hash").alias("src_url_hash"),
-            F.explode("out_links").alias("href"),
+        # link extraction never depends on decode output: join the
+        # selection against ONLY the page store's out_links column
+        # (columnar pruning — the payload bytes are not re-read). Inner
+        # join ≡ fetched pages; 404 rows have no links by construction.
+        sel_keys = selected.select("url", "url_hash", "priority")
+        if n_sel < 0 or n_sel <= cfg.fetch_broadcast_max:
+            sel_keys = F.broadcast(sel_keys)
+        links = (
+            ctx.pages.select("url_hash", "out_links")
+            .join(sel_keys, "url_hash", "inner")
+            .filter(F.col("out_links").isNotNull())
+            .select(
+                F.col("url").alias("base_url"),
+                F.col("priority").alias("parent_priority"),
+                F.col("url_hash").alias("src_url_hash"),
+                F.explode("out_links").alias("href"),
+            )
         )
         if cfg.extractor is not None:
             links = cfg.extractor.apply(links)
@@ -363,7 +387,7 @@ def run_round(ctx: RoundContext, r: int, visited_total: int) -> dict:
     ]
     ctx.cat.append_local("metrics", _metrics_table(mrows))
 
-    fetched.unpersist(); sched.unpersist()
+    sched.unpersist()
     return {"round": r, "fetched": n_sel, "enqueued": n_enq,
             "dropped_seen": dropped_seen, "dropped_robots": dropped_robots,
             "deferred": n_pending - n_sel, "exhausted": False,

@@ -19,8 +19,14 @@ def test_pages_schema_and_invariants():
     pages = web["pages"]
     assert list(pages.columns) == [
         "url", "url_hash", "host", "image_id", "bytes", "w", "h",
-        "fmt", "caption", "phash", "out_links", "pixels_ref",
+        "fmt", "caption", "phash", "out_links", "pixels_ref", "ref_md5",
     ]
+    # the stored checksum IS md5(pixels_ref) — the fetch validator's
+    # lossless bit-exactness check depends on this invariant
+    import hashlib
+
+    assert (pages["ref_md5"] == pages["pixels_ref"].map(
+        lambda b: hashlib.md5(b).hexdigest())).all()
     assert pages["url"].is_unique
     for _, r in pages.iterrows():
         assert r["url_hash"] == xxhash64_str(r["url"])
