@@ -9,7 +9,7 @@ shuffles are the final aggregations.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 _WS = r"\s+"
 
@@ -101,6 +101,37 @@ def _md5_int(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
+def exploded_shingle_hashes(df: DataFrame, text_col: str = "text", n: int = 3,
+                            id_col: str = "doc_id",
+                            passthrough: list[str] | None = None) -> DataFrame:
+    """(id, h[, passthrough…]): one row per word-n-gram OCCURRENCE,
+    ``h`` = 32-bit md5-int of the shingle string.
+
+    Physical shape: posexplode tokens → window ``lead`` per doc → concat →
+    md5 — every expression whole-stage-codegen'd, one shuffle (the per-doc
+    window). The array-building alternative (``shingles()``:
+    sequence+transform+element_at HOFs) runs interpreted and measured 30×
+    slower on the same data. Semantics match ``shingles()`` pre-distinct:
+    docs shorter than n tokens contribute their whole token string;
+    callers needing set semantics dedupe on (id, h)."""
+    passthrough = passthrough or []
+    toks = tokens(F.col(text_col))
+    tk = df.select(id_col, *passthrough, F.posexplode(toks).alias("_p", "_t"))
+    w = Window.partitionBy(id_col).orderBy("_p")
+    leads = [F.lead("_t", j).over(w).alias(f"_t{j}") for j in range(1, n)]
+    tri = tk.select(id_col, *passthrough, "_t", *leads)
+    gram = F.concat_ws(" ", "_t", *[f"_t{j}" for j in range(1, n)])
+    long_docs = tri.where(F.col(f"_t{n-1}").isNotNull()).select(
+        id_col, *passthrough, gram.alias("_g"))
+    short = (
+        df.select(id_col, *passthrough, toks.alias("_tk"))
+        .where(F.size("_tk") < n)
+        .select(id_col, *passthrough, F.concat_ws(" ", "_tk").alias("_g"))
+    )
+    return long_docs.unionByName(short).select(
+        id_col, *passthrough, _md5_int(F.col("_g")).alias("h"))
+
+
 # universal-hash family for minhash: mh_i = (a_i·h + b_i) mod p over the
 # ONE 32-bit md5 int per shingle. p = 2^31-1 (Mersenne); a_i < 2^30 keeps
 # a·h < 2^62 — no int64 overflow in either engine, so the exact same
@@ -130,13 +161,11 @@ def minhash_signature(df: DataFrame, text_col: str = "text", num_hashes: int = 8
         raise ValueError(f"num_hashes > {len(MINHASH_AB)} needs more mixing constants")
     # explode + groupBy (not k array_min/transform columns): Catalyst's
     # CollapseProject would inline the shingle-building expression into
-    # every mh column, recomputing split/ngrams/distinct per hash seed —
-    # exploding materializes each shingle exactly once, then the k mins
-    # reduce in a single partial-aggregating shuffle
-    sh = df.select(
-        "doc_id", F.explode(shingles(F.col(text_col), shingle_n)).alias("_s")
-    ).select("doc_id", _md5_int(F.col("_s")).alias("_h"))
-    aggs = [F.min(_mix(F.col("_h"), i)).alias(f"mh{i}") for i in range(num_hashes)]
+    # every mh column — exploding materializes each shingle hash exactly
+    # once, then the k mins reduce in a single partial-aggregating
+    # shuffle. Duplicate shingles don't affect mins, so no dedup needed.
+    sh = exploded_shingle_hashes(df, text_col, shingle_n)
+    aggs = [F.min(_mix(F.col("h"), i)).alias(f"mh{i}") for i in range(num_hashes)]
     sig = sh.groupBy("doc_id").agg(*aggs)
     return df.join(sig, "doc_id")
 
@@ -185,17 +214,14 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", shingle_n: int = 
     Every shuffle carries (block, int64, doc_id) rows; all aggregations
     are partial (map-side combine)."""
     toks = tokens(F.col(text_col))
-    ex = (
-        df.select(
-            "doc_id",
-            F.md5(F.concat_ws(" ", F.slice(toks, 1, block_tokens))).alias("block"),
-            F.explode(shingles(F.col(text_col), shingle_n)).alias("_s"),
-        )
-        .select("doc_id", "block", _md5_int(F.col("_s")).alias("h"))
-        # set semantics over the HASHED values (md5-32 collisions merge
-        # identically in the DuckDB oracle, so parity is exact)
-        .dropDuplicates(["doc_id", "h"])
+    blocked = df.withColumn(
+        "block", F.md5(F.concat_ws(" ", F.slice(toks, 1, block_tokens)))
     )
+    # set semantics over the HASHED values (md5-32 collisions merge
+    # identically in the DuckDB oracle, so parity is exact)
+    ex = exploded_shingle_hashes(
+        blocked, text_col, shingle_n, passthrough=["block"]
+    ).dropDuplicates(["doc_id", "h"])
     sizes = ex.groupBy("doc_id", "block").agg(F.count("*").alias("n"))
     sa, sb = sizes.alias("sa"), sizes.alias("sb")
     pairs = (
