@@ -64,6 +64,9 @@ def _make_ctx(spark: SparkSession, cfg: CrawlConfig) -> tuple[RoundContext, Chec
         m_bits=cfg.bloom_bits_per_part,
         k=cfg.bloom_k,
         overflow_rebuild=cfg.bloom_overflow_rebuild,
+        # the frontier is append-only and dedup-gated, so its url_hash
+        # column IS the URL-seen set — no separate seen table to write
+        exact_source=lambda: cat.read("frontier"),
     )
     cat.create("robots", ROBOTS_DDL)  # versioned even in preparsed mode
     if cfg.robots_mode == "discover":

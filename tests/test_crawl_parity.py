@@ -37,7 +37,7 @@ def _run_engine(spark, web_dir, job_dir, corpus_size, **cfg_kw):
     cat = ManifestCatalog(spark, job_dir)
     corpus = cat.read("corpus").toPandas().sort_values(
         ["fetch_round", "fetch_vt", "url_hash"]).reset_index(drop=True)
-    seen = {r["url_hash"] for r in cat.read("seen").select("url_hash").collect()}
+    seen = {r["url_hash"] for r in cat.read("frontier").select("url_hash").collect()}
     metrics = cat.read("metrics").filter("part_id = -1").toPandas().sort_values("round")
     return res, corpus, seen, metrics
 

@@ -19,7 +19,7 @@ def _final_state(spark, job_dir):
     cat = ManifestCatalog(spark, job_dir)
     corpus = cat.read("corpus").toPandas().sort_values(
         ["fetch_round", "fetch_vt", "url_hash"]).reset_index(drop=True)
-    seen = sorted(r["url_hash"] for r in cat.read("seen").select("url_hash").collect())
+    seen = sorted(r["url_hash"] for r in cat.read("frontier").select("url_hash").collect())
     frontier = sorted(r["url_hash"] for r in cat.read("frontier").select("url_hash").collect())
     return corpus, seen, frontier
 

@@ -89,7 +89,7 @@ def test_discover_mode_matches_preparsed_crawl(spark):
                 "stop": res.stop_reason,
                 "corpus": {tuple(r) for r in cat.read("corpus")
                            .select("url_hash", "fetch_round", "fetch_vt").collect()},
-                "seen": {r["url_hash"] for r in cat.read("seen").collect()},
+                "seen": {r["url_hash"] for r in cat.read("frontier").select("url_hash").collect()},
             }
         assert results["preparsed"] == results["discover"]
         # and the discover run actually recorded per-host robots rows
