@@ -72,6 +72,15 @@ def _canon_udf(base: pd.Series, href: pd.Series) -> pd.Series:
     return resolve_canonicalize(base, href)
 
 
+# canon is pure, but asNondeterministic() stops Catalyst from (a) pushing
+# the `url IS NOT NULL` filter below the repartition exchange — which
+# re-evaluated the UDF on the UN-repartitioned input, single-task for a
+# one-file seed list (measured: a second full canon pass, 30s at 150k
+# seeds) — and (b) collapsing it into multiple projections (double
+# evaluation for the filter + the column).
+_canon_udf = _canon_udf.asNondeterministic()
+
+
 def canonicalize_links(df: DataFrame, base_col: str = "base_url", href_col: str = "href") -> DataFrame:
     """href resolved+canonicalized → ``url``, hashed JVM-side → ``url_hash``,
     ``host`` extracted JVM-side. Non-crawlable hrefs dropped."""
