@@ -263,14 +263,33 @@ def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.3)
 
 
-# ---- non-SQL-expressible ops (rows-only checks) --------------------------
+def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures via the md5-token twin (two 32-bit halves —
+    DuckDB-expressible, so this is a full value-checked entry; the
+    xxhash64 ``simhash64`` stays the scale default, pinned by pytest)."""
+    from pegasus_spark.functions.simops import simhash_md5
 
-def q_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pegasus_spark.functions.simops import simhash64
+    return simhash_md5(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "sim_lo", "sim_hi"
+    )
 
-    # signatures (pairs may legitimately be empty on random text; return
-    # the signature table so the rows-only check has rows)
-    return simhash64(_t(spark, sf_dir, "documents")).select("doc_id", "simhash")
+
+_NEAR_DUP_LSH_PLANES = 4  # 16 buckets over the testdata's 500 vectors
+
+
+def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs blocked on a COMPUTED LSH bucket (not the label
+    column): signed_projection_bucket output wired in as ``block_col`` —
+    the end-to-end form the 100 TB path uses, value-checked against a
+    DuckDB twin that recomputes the same buckets from literal planes."""
+    from pegasus_spark.functions.simops import (
+        embedding_near_dup_pairs,
+        signed_projection_bucket,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    b = signed_projection_bucket(e, _ANN_DIM, n_planes=_NEAR_DUP_LSH_PLANES)
+    return embedding_near_dup_pairs(b, threshold=0.2, block_col="bucket")
 
 
 _ANN_DIM, _ANN_PLANES = 64, 8  # driver testdata embeddings are 64-dim
@@ -285,6 +304,15 @@ def q_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pegasus_spark.functions.simops import signed_projection_bucket
 
     e = _t(spark, sf_dir, "embeddings")
+    # the oracle renders _ANN_DIM-sized plane literals — longer embeddings
+    # would be silently truncated on both sides (parity would mask it), so
+    # fail loudly on a dim mismatch instead (one 1-row probe)
+    probe = e.select(F.size("embedding").alias("d")).limit(1).collect()
+    if probe and int(probe[0]["d"]) != _ANN_DIM:
+        raise ValueError(
+            f"embeddings dim {int(probe[0]['d'])} != _ANN_DIM={_ANN_DIM}; "
+            "regenerate the oracle planes for this dim"
+        )
     return (
         signed_projection_bucket(e, _ANN_DIM, n_planes=_ANN_PLANES)
         .groupBy("bucket").agg(F.count("*").alias("n"))
@@ -319,7 +347,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "embedding_cosine_topk": q_embedding_cosine_topk,
         "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
-        "simhash_signatures": q_simhash_near_dup_pairs,
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+        "simhash_signatures": q_simhash_signatures,
         "ann_lsh_bucket": q_ann_lsh_bucket,
     }
 
@@ -524,25 +553,25 @@ def oracle_sql() -> dict[str, str]:
             WHERE ROUND(list_cosine_similarity(a.emb, b.emb), 4) >= 0.3
         """,
         "ann_lsh_bucket": _ann_oracle(),
-        # simhash_signatures: non-SQL-expressible (xxhash64 token hashing
-        # has no DuckDB twin) → rows-only check; pytest pins its semantics.
+        "embedding_near_dup_lsh": _near_dup_lsh_oracle(),
+        "simhash_signatures": _simhash_oracle(),
     }
 
 
-def _ann_oracle() -> str:
-    """The signed-projection bucket histogram in DuckDB SQL: the ±1
-    planes are literal arrays (same generator as the Spark side), the
-    projection is a quantize-to-int64 + exact integer SUM — order
-    independent, so the sign test matches Spark bit-for-bit."""
+def _bucket_cte(n_planes: int) -> str:
+    """Shared DuckDB CTE chain computing (vec_id, bucket) via the same
+    deterministic ±1 planes as ``signed_projection_bucket``: planes are
+    literal arrays, the projection a quantize-to-int64 + exact integer
+    SUM — order independent, so the sign test matches Spark bit-for-bit."""
     from pegasus_spark.functions.simops import rademacher_signs
 
-    signs = rademacher_signs(_ANN_DIM, _ANN_PLANES)
+    signs = rademacher_signs(_ANN_DIM, n_planes)
     values = ", ".join(
         f"({j}, [{', '.join(str(s) for s in signs[j])}])"
-        for j in range(_ANN_PLANES)
+        for j in range(n_planes)
     )
     return f"""
-        WITH ex AS (
+        ex AS (
           SELECT vec_id,
                  CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS q,
                  generate_subscripts(embedding, 1) AS i
@@ -557,6 +586,65 @@ def _ann_oracle() -> str:
         b AS (
           SELECT vec_id,
                  CAST(SUM(CASE WHEN pr > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS bucket
-          FROM proj GROUP BY 1)
+          FROM proj GROUP BY 1)"""
+
+
+def _ann_oracle() -> str:
+    return f"""
+        WITH {_bucket_cte(_ANN_PLANES)}
         SELECT bucket, COUNT(*) AS n FROM b GROUP BY 1
+    """
+
+
+def _near_dup_lsh_oracle() -> str:
+    return f"""
+        WITH {_bucket_cte(_NEAR_DUP_LSH_PLANES)},
+        e AS (
+          SELECT vec_id, bucket, embedding::DOUBLE[] AS emb
+          FROM embeddings JOIN b USING (vec_id))
+        SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+               ROUND(list_cosine_similarity(a.emb, c.emb), 4) AS cos
+        FROM e a JOIN e c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+        WHERE ROUND(list_cosine_similarity(a.emb, c.emb), 4) >= 0.2
+    """
+
+
+def _simhash_oracle() -> str:
+    """simhash_md5's twin: tokenization, the two 32-bit md5 halves, 64
+    sign-sums and the bit assembly all in DuckDB SQL — generated column
+    lists, no 64-line hand-transcription to drift."""
+    sums = ",\n                 ".join(
+        f"SUM(CASE WHEN (h{half} >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{half}_{b}"
+        for half in ("lo", "hi")
+        for b in range(32)
+    )
+
+    def assemble(half: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN s_{half}_{b} > 0 THEN (CAST(1 AS BIGINT) << {b}) ELSE 0 END)"
+            for b in range(32)
+        )
+
+    return f"""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+          FROM documents),
+        h AS (
+          SELECT doc_id,
+                 {_MD5INT.format('t')} AS hlo,
+                 CAST(CONCAT('0x', substr(md5(t), 9, 8)) AS BIGINT) AS hhi
+          FROM tok WHERE t != ''),
+        s AS (
+          SELECT doc_id,
+                 {sums}
+          FROM h GROUP BY doc_id),
+        sig AS (
+          SELECT doc_id,
+                 CAST({assemble('lo')} AS BIGINT) AS sim_lo,
+                 CAST({assemble('hi')} AS BIGINT) AS sim_hi
+          FROM s)
+        SELECT d.doc_id,
+               COALESCE(sig.sim_lo, 0) AS sim_lo,
+               COALESCE(sig.sim_hi, 0) AS sim_hi
+        FROM documents d LEFT JOIN sig ON d.doc_id = sig.doc_id
     """

@@ -34,7 +34,7 @@ QUERY_NAMES = [
     "text_quality", "doc_fingerprint", "dedup_exact", "langid",
     "token_counts_by_source", "ngram_jaccard_pairs", "minhash_lsh_pairs",
     "embedding_cosine_topk", "embedding_near_dup_pairs",
-    "simhash_signatures", "ann_lsh_bucket",
+    "embedding_near_dup_lsh", "simhash_signatures", "ann_lsh_bucket",
 ]
 
 
@@ -110,7 +110,7 @@ def crawl_bench(spark, n_pages: int, verbose: bool = False,
     from pegasus_spark.crawl import crawl
     from pegasus_spark.fixtures import WebParams, materialize
 
-    if profile == "drain_giant":
+    if profile in ("drain_giant", "drain_giant_shuffle"):
         # ONE giant fetch round (every page seeded, W covers the hottest
         # host): the per-round driver time a 10^10-URL crawl amortizes to
         # ~0 is amortized the same way here; decode+validate dominates.
@@ -127,8 +127,14 @@ def crawl_bench(spark, n_pages: int, verbose: bool = False,
             os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "fixtures"),
             procs=16,
         )
-        return _run_crawl(spark, web_dir, round_width_vt=2_000_000,
-                          verbose=verbose, cache_pages=False)
+        return _run_crawl(
+            spark, web_dir, round_width_vt=2_000_000,
+            verbose=verbose, cache_pages=False,
+            # drain_giant_shuffle: force the size-gated fetch past its
+            # broadcast ceiling so the co-partitioned shuffle-join path
+            # (the 10^7-10^8-URL-round strategy) carries the whole drain
+            fetch_broadcast_max=0 if profile == "drain_giant_shuffle" else 2_000_000,
+        )
     if profile == "drain":
         # few huge rounds, png-only payloads (decode cost ≈ real-world
         # jpeg): the steady-state shape of a 10^10-URL frontier drain
@@ -152,7 +158,7 @@ def crawl_bench(spark, n_pages: int, verbose: bool = False,
 
 
 def _run_crawl(spark, web_dir: str, round_width_vt: int, verbose: bool = False,
-               cache_pages: bool = True) -> dict:
+               cache_pages: bool = True, fetch_broadcast_max: int = 2_000_000) -> dict:
     from pegasus_spark.config import CrawlConfig
     from pegasus_spark.crawl import crawl
 
@@ -163,6 +169,7 @@ def _run_crawl(spark, web_dir: str, round_width_vt: int, verbose: bool = False,
         round_width_vt=round_width_vt,
         seen_parts=8, host_buckets=32,
         cache_pages=cache_pages,
+        fetch_broadcast_max=fetch_broadcast_max,
     )
     _warm_crawl_path(spark, web_dir)
     t0 = time.monotonic()

@@ -67,11 +67,21 @@ class CrawlConfig:
     # (10^7-10^8 URLs at design scale would blow the 8 GB broadcast
     # ceiling) fall back to a co-partitioned shuffle join
     fetch_broadcast_max: int = 2_000_000
+    # content-type gate (pegasus's defaults drop non-HTML bodies before
+    # link extraction): pages whose ``fmt`` is not in this set are still
+    # fetched + recorded as visited, but contribute no out-links. None =
+    # extract from everything (the fixture webs are all-image).
+    extract_fmts: Optional[tuple] = None
     # plug points (pegasus :extractor / :writer / :stop-check analogues)
     extractor: Optional[Stage] = None
     pre_enqueue: Optional[Stage] = None
     writer: Optional[Stage] = None  # pegasus default-writer-fn override
     stop_check: Optional[Callable[[int, int, bool], bool]] = None
+    # pegasus :update-state / default-update-state-fn analogue: called
+    # once per round with the round's stats dict BEFORE the checkpoint is
+    # written; mutations land in the checkpoint's ``stats`` blob, so a
+    # user can persist custom per-round state without their own table
+    update_state: Optional[Callable[[dict], None]] = None
     extra: dict = field(default_factory=dict)
 
     @property

@@ -23,10 +23,10 @@ from .config import CrawlConfig
 from .robots import (
     ROBOTS_DDL,
     RobotsCache,
-    allowed_filter,
     load_crawl_delays,
     load_raw,
-    load_rules,
+    load_rules_df,
+    make_gate,
 )
 from .round import (
     CORPUS_DDL,
@@ -71,12 +71,12 @@ def _make_ctx(spark: SparkSession, cfg: CrawlConfig) -> tuple[RoundContext, Chec
     cat.create("robots", ROBOTS_DDL)  # versioned even in preparsed mode
     if cfg.robots_mode == "discover":
         robots = RobotsCache(spark, cat, load_raw(spark, cfg.web_dir), cfg.user_agent)
-        allowed_udf = robots.allowed_udf()  # empty until first ensure()
+        gate = robots.gate()  # empty table until first ensure()
         crawl_delays = robots.crawl_delays()
     elif cfg.robots_mode == "preparsed":
         robots = None
         robots_path = f"{cfg.web_dir}/robots_txt.parquet"
-        allowed_udf = allowed_filter(spark, load_rules(spark, robots_path))
+        gate = make_gate(load_rules_df(spark, robots_path))
         crawl_delays = load_crawl_delays(spark, robots_path)
     else:
         raise ValueError(f"unknown robots_mode {cfg.robots_mode!r}")
@@ -88,7 +88,7 @@ def _make_ctx(spark: SparkSession, cfg: CrawlConfig) -> tuple[RoundContext, Chec
         # the page store is read every round (it stands in for HTTP);
         # cached across rounds unless the config says it won't fit
         pages=pages,
-        allowed_udf=allowed_udf,
+        gate=gate,
         crawl_delays=crawl_delays,
         robots=robots,
     )
@@ -115,14 +115,26 @@ def _tlap(t0: float, label: str) -> float:
 
 
 def crawl(spark: SparkSession, cfg: CrawlConfig, resume: bool = False) -> CrawlResult:
-    if not resume and CheckpointStore(cfg.job_dir).latest() is not None:
+    if not resume:
         # a fresh crawl over stale state would silently drop the re-injected
         # seeds (seen-set) and misalign round-0 virtual time with the
         # already-advanced host clocks — refuse instead of corrupting
-        raise ValueError(
-            f"job_dir {cfg.job_dir!r} holds a prior crawl's checkpoints; "
-            "pass resume=True to continue it or point at a clean job_dir"
-        )
+        if CheckpointStore(cfg.job_dir).latest() is not None:
+            raise ValueError(
+                f"job_dir {cfg.job_dir!r} holds a prior crawl's checkpoints; "
+                "pass resume=True to continue it or point at a clean job_dir"
+            )
+        # a run that crashed BEFORE its first checkpoint leaves populated
+        # (possibly mutually inconsistent) tables with no checkpoint to
+        # resume from — equally unsafe to build on
+        probe = ManifestCatalog(spark, cfg.job_dir)
+        for t in ("frontier", "corpus"):
+            if probe.exists(t) and not probe.is_empty(t):
+                raise ValueError(
+                    f"job_dir {cfg.job_dir!r} holds a non-empty {t!r} table "
+                    "but no checkpoint (a crawl crashed before its first "
+                    "commit?); point at a clean job_dir"
+                )
     _t = _time.monotonic()
     ctx, ckpt = _make_ctx(spark, cfg)
     _t = _tlap(_t, "make_ctx")
@@ -150,7 +162,8 @@ def crawl(spark: SparkSession, cfg: CrawlConfig, resume: bool = False) -> CrawlR
             )
         else:
             seeds_df = spark.read.parquet(f"{cfg.web_dir}/seeds.parquet")
-        inject_seeds(ctx, seeds_df)
+        with cat.txn():  # seed injection = one atomic frontier+bloom commit
+            inject_seeds(ctx, seeds_df)
         _t = _tlap(_t, "inject_seeds")
         ckpt.save(-1, {"versions": cat.snapshot(TABLES), "visited": 0, "stopped": False})
 
@@ -167,6 +180,8 @@ def crawl(spark: SparkSession, cfg: CrawlConfig, resume: bool = False) -> CrawlR
             stop_reason, stopped = "corpus_size", True
         elif cfg.stop_check is not None and cfg.stop_check(r, visited, st["exhausted"]):
             stop_reason, stopped = "stop_check", True
+        if cfg.update_state is not None:
+            cfg.update_state(st)  # may mutate st → lands in the checkpoint
         ckpt.save(r, {
             "versions": cat.snapshot(TABLES), "visited": visited,
             "stopped": stopped, "reason": stop_reason if stopped else None,

@@ -137,7 +137,9 @@ def fetch_and_validate(
     # that path only exists for politeness-bounded selections. At real
     # scale "pages" is HTTP and fetch is a mapInPandas over the selection
     # only; the page store here is the sandbox network stand-in.
-    small = selection_count is None or selection_count <= broadcast_max
+    small = (broadcast_max > 0) and (
+        selection_count is None or selection_count <= broadcast_max
+    )
     if validate:
         # shrink the fat ref column AT THE SCAN: lossless rows reduce to a
         # 32-char md5 (stored in the fixture, else hashed columnar-side);

@@ -47,6 +47,11 @@ class WebParams:
     disallow_host_frac: float = 0.1
     crawl_delay_host_frac: float = 0.2
     n_seeds: int = 3
+    # fraction of pages carrying an opaque non-image payload (fmt='bin',
+    # undecodable bytes) — the content-type-gate scenario. Applied as a
+    # post-pass with a SEPARATE rng so the main stream (and therefore
+    # every existing fixture/golden trace) is byte-identical at 0.0.
+    opaque_frac: float = 0.0
     extra: dict = field(default_factory=dict, compare=False)
 
     def tag(self) -> str:
@@ -54,6 +59,7 @@ class WebParams:
             f"s{self.seed}_p{self.n_pages}_h{self.n_hosts}_f{self.fanout}"
             f"_z{self.zipf_s}_l{self.lossy_frac}_i{self.img_min}-{self.img_max}"
             f"_d{self.disallow_host_frac}_c{self.crawl_delay_host_frac}_sd{self.n_seeds}"
+            + (f"_o{self.opaque_frac}" if self.opaque_frac else "")
         )
 
 
@@ -148,6 +154,20 @@ def generate_web(p: WebParams) -> dict[str, pd.DataFrame]:
         "pixels_ref": rows["pixels_ref"],
         "ref_md5": rows["ref_md5"],
     })
+
+    if p.opaque_frac > 0:
+        # post-pass with a dedicated rng: replaces payloads only; the main
+        # rng stream above is untouched, so all opaque_frac=0 fixtures
+        # (and their golden crawl traces) stay byte-identical
+        rng_o = np.random.default_rng(p.seed + 0x0FA9)
+        opaque = np.flatnonzero(rng_o.random(p.n_pages) < p.opaque_frac)
+        for i in opaque:
+            i = int(i)
+            pages.at[i, "fmt"] = "bin"
+            pages.at[i, "bytes"] = b"\x00OPQ" + hashlib.md5(urls[i].encode()).digest() * 4
+            pages.at[i, "phash"] = 0
+            pages.at[i, "pixels_ref"] = b""
+            pages.at[i, "ref_md5"] = ""
 
     # robots: deterministic per-host rules
     r_crawl_delay: list = []

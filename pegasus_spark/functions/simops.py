@@ -180,20 +180,81 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
         .where(F.col("_t") != "")
         .select(id_col, F.xxhash64("_t").alias("_h"))
     )
-    one = F.lit(1).cast("long")
-    aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("_h"), b).bitwiseAND(one) == 1, 1).otherwise(-1)
-        ).alias(f"_s{b}")
-        for b in range(64)
-    ]
-    acc = ex.groupBy(id_col).agg(*aggs)
-    sig = None
-    for b in range(64):
-        bit = F.when(F.col(f"_s{b}") > 0, F.shiftleft(one, b)).otherwise(F.lit(0).cast("long"))
-        sig = bit if sig is None else sig + bit
-    sigs = acc.select(id_col, sig.alias("simhash"))
+    sigs = _packed_simhash_bits(ex, id_col, ["_h"], 64).select(
+        id_col, F.col("_sig0").alias("simhash")
+    )
     return df.join(sigs, id_col, "left").fillna({"simhash": 0})
+
+
+def _packed_simhash_bits(ex: DataFrame, id_col: str, hash_cols: list[str],
+                         bits_per_hash: int) -> DataFrame:
+    """Shared sign-sum core for the simhash variants: per hash column,
+    per bit b, s_b = Σ_tokens (bit set ? +1 : −1); output ``_sig{i}`` =
+    Σ_b (s_b>0) << b.
+
+    Packed-lane aggregation (r2 shipped one SUM per bit = 64 aggregate
+    buffers): two bits share one long — lane value ((h>>2i)&1) |
+    ((h>>(2i+1))&1) << 32 — so 64 bits take 32 SUMs + 1 COUNT, halving
+    the aggregation state and shuffle row width. 32-bit lanes hold exact
+    counts up to 2^31 tokens/doc (no 16-bit-lane overflow hazard), and
+    s_b>0 ⇔ 2·ones_b > n, so the signature is bit-identical to the
+    unpacked form — semantics unchanged, only the physical agg shape."""
+    one = F.lit(1).cast("long")
+    n_lanes_per_hash = bits_per_hash // 2
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for hi, hc in enumerate(hash_cols):
+        h = F.col(hc)
+        for i in range(n_lanes_per_hash):
+            lane = (
+                F.shiftright(h, 2 * i).bitwiseAND(one)
+                + F.shiftleft(F.shiftright(h, 2 * i + 1).bitwiseAND(one), 32)
+            )
+            aggs.append(F.sum(lane).alias(f"_l{hi}_{i}"))
+    acc = ex.groupBy(id_col).agg(*aggs)
+    mask32 = F.lit((1 << 32) - 1).cast("long")
+    n2 = F.col("_n")  # s_b > 0  ⇔  2·ones_b − n > 0
+    sig_cols = []
+    for hi in range(len(hash_cols)):
+        sig = F.lit(0).cast("long")
+        for b in range(bits_per_hash):
+            i, sub = b // 2, b % 2
+            lane_sum = F.col(f"_l{hi}_{i}")
+            ones = (lane_sum.bitwiseAND(mask32) if sub == 0
+                    else F.shiftright(lane_sum, 32))
+            sig = sig + F.when(ones * 2 > n2, F.shiftleft(one, b)).otherwise(
+                F.lit(0).cast("long"))
+        sig_cols.append(sig.alias(f"_sig{hi}"))
+    return acc.select(id_col, *sig_cols)
+
+
+def simhash_md5(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Oracle-checkable SimHash twin: 64 signature bits from TWO 32-bit
+    md5 halves per token (hex chars 1-8 and 9-16 — the same ``_md5_int``
+    pattern minhash uses), emitted as two 32-bit longs ``sim_lo``/
+    ``sim_hi`` so no expression can overflow int64 in either engine.
+
+    md5 is bit-identical across Spark and DuckDB, so this variant has an
+    exact ANSI-SQL oracle (``__spark_entry__.oracle_sql``) — it exists to
+    close the correctness gap on the signature semantics; ``simhash64``
+    (xxhash64 tokens, single shuffle, no hex decode) stays the scale
+    default. Same physical shape: explode → hash → one partial-agg
+    shuffle of 64 sign-sums → JVM bit assembly."""
+    from .textops import tokens
+
+    md5 = F.md5("_t")
+    ex = (
+        df.select(id_col, F.explode(tokens(F.col(text_col))).alias("_t"))
+        .where(F.col("_t") != "")
+        .select(
+            id_col,
+            F.conv(F.substring(md5, 1, 8), 16, 10).cast("long").alias("_hlo"),
+            F.conv(F.substring(md5, 9, 8), 16, 10).cast("long").alias("_hhi"),
+        )
+    )
+    sigs = _packed_simhash_bits(ex, id_col, ["_hlo", "_hhi"], 32).select(
+        id_col, F.col("_sig0").alias("sim_lo"), F.col("_sig1").alias("sim_hi")
+    )
+    return df.join(sigs, id_col, "left").fillna({"sim_lo": 0, "sim_hi": 0})
 
 
 def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",

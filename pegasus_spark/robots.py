@@ -3,12 +3,13 @@
 shriphani/pegasus fetches+parses robots.txt per host, caches it in an
 LMDB robots cache, and filters disallowed URLs before fetch
 (``src/pegasus/defaults.clj`` robots filtering — symbol cite per
-SURVEY.md §0). Here the per-host rules live in a small ``robots`` table
-(the sandbox fixture is the pre-fetched cache; a real deployment fills
-it with a robots-fetch sub-batch). Matching is longest-prefix
-allow/disallow over the ``rules`` array, evaluated as an Arrow-batched
-pandas UDF against broadcast rules — the robots side is always tiny
-relative to the frontier, so it never shuffles the candidate set.
+SURVEY.md §0). Here the per-host rules live in the versioned ``robots``
+table (the sandbox fixture is the pre-fetched cache; a real deployment
+fills it with a robots-fetch sub-batch). Matching is longest-prefix
+allow/disallow over the ``rules`` array, evaluated as a pure JVM
+expression after a host-join against the rules DataFrame — no pandas
+UDF, no driver-side rules dict at any host count (see the gate section
+below).
 """
 
 from __future__ import annotations
@@ -17,58 +18,68 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
-def load_rules(spark: SparkSession, robots_path: str) -> dict[str, list[tuple[bool, str]]]:
-    """host → rules sorted by prefix length desc (longest match wins).
-    Unknown host ⇒ allow-all (matching the reference's default)."""
-    rows = spark.read.parquet(robots_path).select("host", "rules").collect()
-    out: dict[str, list[tuple[bool, str]]] = {}
-    for r in rows:
-        rules = [(x["allow"], x["prefix"]) for x in (r["rules"] or [])]
-        rules.sort(key=lambda t: len(t[1]), reverse=True)
-        out[r["host"]] = rules
-    return out
-
-
 def load_crawl_delays(spark: SparkSession, robots_path: str) -> DataFrame:
     return spark.read.parquet(robots_path).select(
         "host", F.col("crawl_delay_ms").cast("long").alias("crawl_delay_ms")
     )
 
 
-def allowed_filter(
-    spark: SparkSession, rules: dict[str, list[tuple[bool, str]]]
-) -> "F.udf":
-    """Returns a pandas UDF ``allowed(host, path) -> boolean``.
+# ---- the gate: a JOIN on host + a JVM longest-prefix expression --------
+# Round 2 held every host's rules in a driver dict and broadcast it into
+# a pandas UDF — O(hosts) driver memory, rebuilt per version change; a
+# 10^7-10^8-host frontier makes that a multi-GB driver structure. Now the
+# rules stay a DataFrame end to end: candidates ⟕ rules on host, verdict
+# = first matching prefix in a longest-first-sorted rules array, all JVM
+# built-ins (filter/element_at/coalesce — whole-stage codegen, no Python,
+# no driver materialization). Catalyst's size estimation auto-broadcasts
+# the rules side while it is small and falls back to a shuffle join past
+# the broadcast threshold — exactly the scale behavior we want, with no
+# hand-tuned gate.
 
-    Vectorized: per unique host in the Arrow batch (few), each rule
-    prefix is tested with a vectorized ``str.startswith`` in longest-
-    first order; first match decides, default allow.
-    """
-    b = spark.sparkContext.broadcast(rules)
+def sorted_rules(rules_col):
+    """Sort a rules array longest-prefix-first, STABLE (original parse
+    order breaks length ties — the same order the scalar oracle
+    ``allowed_one`` and the text parser use)."""
+    with_key = F.transform(
+        rules_col,
+        lambda r, i: F.struct(
+            (-F.length(r["prefix"])).alias("nl"), i.alias("i"),
+            r["allow"].alias("allow"), r["prefix"].alias("prefix"),
+        ),
+    )
+    return F.transform(
+        F.array_sort(with_key),
+        lambda s: F.struct(s["allow"].alias("allow"), s["prefix"].alias("prefix")),
+    )
 
-    @F.pandas_udf("boolean")
-    def allowed(host: pd.Series, path: pd.Series) -> pd.Series:
-        import numpy as np
 
-        res = np.ones(len(host), dtype=bool)
-        hv = host.to_numpy()
-        rmap = b.value
-        for h in pd.unique(host.dropna()):
-            rs = rmap.get(h)
-            if not rs:
-                continue
-            mask = hv == h
-            sub = path[mask].fillna("/")
-            decided = np.zeros(mask.sum(), dtype=bool)
-            verdict = np.ones(mask.sum(), dtype=bool)
-            for allow, prefix in rs:  # longest prefix first
-                hit = sub.str.startswith(prefix).to_numpy(dtype=bool) & ~decided
-                verdict[hit] = allow
-                decided |= hit
-            res[mask] = verdict
-        return pd.Series(res, index=host.index)
+def allowed_expr(path_col, rules_col):
+    """Longest-prefix allow/disallow verdict as a pure JVM expression.
+    ``rules_col`` must be longest-first-sorted; null/empty rules (host
+    absent from the robots table) ⇒ allow, per the reference default."""
+    hit = F.filter(rules_col, lambda r: path_col.startswith(r["prefix"]))
+    return F.coalesce(F.element_at(hit, 1)["allow"], F.lit(True))
 
-    return allowed
+
+def load_rules_df(spark: SparkSession, robots_path: str) -> DataFrame:
+    """(host, rules) with rules pre-sorted for ``allowed_expr``."""
+    return spark.read.parquet(robots_path).select(
+        "host", sorted_rules(F.col("rules")).alias("rules")
+    )
+
+
+def make_gate(rules_df: DataFrame):
+    """Returns ``gate(df, url_col) -> df + allowed:boolean``. The join is
+    on ``host``; the rules side never touches the driver."""
+
+    def gate(df: DataFrame, url_col: str = "url") -> DataFrame:
+        return (
+            df.join(rules_df, "host", "left")
+            .withColumn("allowed", allowed_expr(path_of(F.col(url_col)), F.col("rules")))
+            .drop("rules")
+        )
+
+    return gate
 
 
 # ---- raw robots.txt parsing (SURVEY.md §2 O5: "unknown hosts →
@@ -109,6 +120,8 @@ def parse_robots_text(
             last_was_ua = True
             continue
         last_was_ua = False
+        if not cur_uas:
+            continue  # RFC 9309: rules outside any User-agent group are ignored
         if key == "disallow":
             if val:  # empty Disallow = allow everything → no rule
                 cur_rules.append((False, val))
@@ -117,7 +130,7 @@ def parse_robots_text(
                 cur_rules.append((True, val))
         elif key == "crawl-delay":
             try:
-                cur_delay = int(float(val) * 1000)
+                cur_delay = round(float(val) * 1000)  # exact ms roundtrip
             except ValueError:
                 pass
     if cur_uas:
@@ -189,42 +202,27 @@ class RobotsCache:
     """Robots discovered mid-crawl (pegasus semantics: fetch+parse
     robots.txt the first time a host is touched, cache forever).
 
-    The cache is a versioned ``robots`` table (checkpointed with the
-    crawl, so resume sees the same rules) plus a driver-side dict twin —
-    the dict is what the gate broadcasts, exactly like the preparsed
-    mode, and it is O(hosts), not O(urls). ``ensure`` runs the
+    The cache is the versioned ``robots`` table, nothing else — the gate
+    reads it as a DataFrame (``rules_df``/``gate``), so the driver never
+    holds a rules structure at any host count. ``ensure`` runs the
     robots-fetch sub-batch: unknown hosts ⟕ raw bodies (the sandbox
     network stand-in; a real deployment fetches ``host/robots.txt``
-    here) → vectorized parse UDF → collect the NEW rows only (tiny) →
-    local append, no Spark write job."""
+    here) → vectorized parse UDF → append. Small batches (the norm: new
+    hosts per round) collect + local-append to skip a Spark write job;
+    batches past ``local_append_max`` rows append executor-side."""
 
-    def __init__(self, spark: SparkSession, cat, raw_df: DataFrame, user_agent: str):
+    def __init__(self, spark: SparkSession, cat, raw_df: DataFrame, user_agent: str,
+                 local_append_max: int = 20_000):
         self.spark = spark
         self.cat = cat
         self.raw = raw_df
         self.user_agent = user_agent
+        self.local_append_max = local_append_max
         cat.create("robots", ROBOTS_DDL)
-        self._version = -1
-        self._dict: dict[str, list[tuple[bool, str]]] = {}
-
-    def _reload(self) -> None:
-        v = self.cat.current_version("robots")
-        if v == self._version:
-            return
-        rows = self.cat.read("robots").select("host", "rules").collect()
-        self._dict = {
-            r["host"]: sorted(
-                [(x["allow"], x["prefix"]) for x in (r["rules"] or [])],
-                key=lambda t: len(t[1]), reverse=True,
-            )
-            for r in rows
-        }
-        self._version = v
 
     def ensure(self, hosts_df: DataFrame, rnd: int) -> int:
         """Fetch+parse robots for hosts not yet cached. Returns how many
         new hosts were discovered."""
-        self._reload()
         known = self.cat.read("robots").select("host")
         unknown = hosts_df.select("host").distinct().join(known, "host", "left_anti")
         parse = parse_robots_udf(self.user_agent)
@@ -237,10 +235,19 @@ class RobotsCache:
                 F.col("_p.crawl_delay_ms").cast("long").alias("crawl_delay_ms"),
                 F.col("_p.rules").alias("rules"),
             )
-        )
-        new_rows = parsed.collect()
-        if not new_rows:
+        ).persist()
+        n_new = parsed.count()
+        if n_new == 0:
+            parsed.unpersist()
             return 0
+        if n_new > self.local_append_max:
+            # big discovery burst: write from the executors, never funnel
+            # the rows through the driver
+            self.cat.append("robots", parsed)
+            parsed.unpersist()
+            return n_new
+        new_rows = parsed.collect()
+        parsed.unpersist()
         import pyarrow as pa
 
         table = pa.Table.from_pylist(
@@ -256,12 +263,18 @@ class RobotsCache:
             schema=_robots_arrow_schema(),
         )
         self.cat.append_local("robots", table)
-        self._reload()
         return len(new_rows)
 
-    def allowed_udf(self):
-        self._reload()
-        return allowed_filter(self.spark, self._dict)
+    def rules_df(self) -> DataFrame:
+        """Current (host, sorted rules) — re-read per round so mid-crawl
+        discoveries are visible; the parse already sorts longest-first,
+        ``sorted_rules`` keeps that order (stable) for any writer."""
+        return self.cat.read("robots").select(
+            "host", sorted_rules(F.col("rules")).alias("rules")
+        )
+
+    def gate(self):
+        return make_gate(self.rules_df())
 
     def crawl_delays(self) -> DataFrame:
         return self.cat.read("robots").select(

@@ -31,7 +31,6 @@ from . import politeness
 from .canon import resolve_canonicalize
 from .config import CrawlConfig
 from .fetch import fetch_and_validate
-from .robots import path_of
 from .seen import SeenSet
 from .tables import ManifestCatalog
 
@@ -111,19 +110,21 @@ def dedupe_candidates(links: DataFrame) -> DataFrame:
 
 
 class RoundContext:
-    """Per-crawl helpers shared across rounds. ``allowed``/``crawl_delays``
+    """Per-crawl helpers shared across rounds. ``gate``/``crawl_delays``
     are refreshed per round when robots are discovered mid-crawl
-    (``robots`` is a RobotsCache in discover mode, None in preparsed)."""
+    (``robots`` is a RobotsCache in discover mode, None in preparsed).
+    ``gate(df, url_col)`` adds ``allowed:boolean`` via a host-join against
+    the rules table (robots.make_gate — no driver-side rules structure)."""
 
     def __init__(self, spark: SparkSession, cat: ManifestCatalog, seen: SeenSet,
-                 cfg: CrawlConfig, pages: DataFrame, allowed_udf, crawl_delays: DataFrame,
+                 cfg: CrawlConfig, pages: DataFrame, gate, crawl_delays: DataFrame,
                  robots=None):
         self.spark = spark
         self.cat = cat
         self.seen = seen
         self.cfg = cfg
         self.pages = pages
-        self.allowed = allowed_udf
+        self.gate = gate
         self.crawl_delays = crawl_delays
         self.robots = robots
 
@@ -139,15 +140,13 @@ def enqueue_new(ctx: RoundContext, cand: DataFrame, discovered_round: int) -> tu
         # the schedule stage downstream never sees an unknown host.
         cand = cand.persist()
         ctx.robots.ensure(cand.select("host"), discovered_round)
-        ctx.allowed = ctx.robots.allowed_udf()
+        ctx.gate = ctx.robots.gate()
         ctx.crawl_delays = ctx.robots.crawl_delays()
     # every count rides the single frontier-append job via observe() —
     # filter_new is single-branch by design (see SeenSet.filter_new), so
     # each observed node appears exactly once in the plan
     obs_f = Observation()
-    flagged = cand.withColumn(
-        "allowed", ctx.allowed(F.col("host"), path_of(F.col("url")))
-    ).observe(
+    flagged = ctx.gate(cand).observe(
         obs_f,
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("allowed").cast("long")).alias("n_allowed"),
@@ -163,18 +162,25 @@ def enqueue_new(ctx: RoundContext, cand: DataFrame, discovered_round: int) -> tu
         F.lit(discovered_round).cast("int").alias("discovered_round"),
         "src_url_hash",
     )
-    ctx.cat.append("frontier", rows)
-    et.lap("frontier_append")
-    cf = _obs_get(obs_f, lambda: cand.withColumn(
-        "allowed", ctx.allowed(F.col("host"), path_of(F.col("url")))).agg(
+    # frontier append and bloom merge are independent consumers of the
+    # persisted `new` (different tables, txn-staged commits): run them as
+    # concurrent jobs. seen.add is now unconditional — the n_new>0 gate
+    # required the append's observation first, re-serializing the chain;
+    # an empty merge is a tiny pass-through cogroup of P bloom rows.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_app = pool.submit(ctx.cat.append, "frontier", rows)
+        f_seen = pool.submit(ctx.seen.add, new.select("url_hash"))
+        f_app.result()
+        f_seen.result()
+    et.lap("frontier_append|seen_add")
+    cf = _obs_get(obs_f, lambda: ctx.gate(cand).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("allowed").cast("long")).alias("n_allowed")).collect()[0])
     n_uniq, n_allowed = int(cf["n"]), int(cf["n_allowed"] or 0)
     n_new = int(_obs_get(obs_n, lambda: {"n_new": new.count()})["n_new"])
     et.lap("obs_counts")
-    if n_new:
-        ctx.seen.add(new.select("url_hash"))
-    et.lap("seen_add")
     new.unpersist()
     if ctx.robots is not None:
         cand.unpersist()
@@ -230,7 +236,13 @@ class _StepTimer:
 
 
 def run_round(ctx: RoundContext, r: int, visited_total: int) -> dict:
-    """Execute crawl round r. Returns the round's stats dict."""
+    """Execute crawl round r (one multi-table transaction — all the
+    round's commits publish together). Returns the round's stats dict."""
+    with ctx.cat.txn():
+        return _run_round_inner(ctx, r, visited_total)
+
+
+def _run_round_inner(ctx: RoundContext, r: int, visited_total: int) -> dict:
     t_start = time.monotonic()
     st_t = _StepTimer(r)
     cfg = ctx.cfg
@@ -241,12 +253,15 @@ def run_round(ctx: RoundContext, r: int, visited_total: int) -> dict:
         # re-bind to the robots table's current version (fresh ctx after
         # resume; rows appended by earlier rounds' sub-batches)
         ctx.crawl_delays = ctx.robots.crawl_delays()
-        ctx.allowed = ctx.robots.allowed_udf()
+        ctx.gate = ctx.robots.gate()
 
     frontier = ctx.cat.read("frontier")
     fetched_hashes = ctx.cat.read("corpus").select("url_hash")
+    # no broadcast hint on the delays side: Catalyst auto-broadcasts while
+    # the robots table is under the threshold and shuffle-joins past it
+    # (10^8 hosts) — same policy as the rules gate
     pending = frontier.join(fetched_hashes, "url_hash", "left_anti").join(
-        F.broadcast(ctx.crawl_delays), "host", "left"
+        ctx.crawl_delays, "host", "left"
     )
     host_state = ctx.cat.read("hosts")
 
@@ -323,28 +338,11 @@ def run_round(ctx: RoundContext, r: int, visited_total: int) -> dict:
         # bookkeeping (pending = frontier ⟕̸ corpus), so filtering rows
         # here would cause refetches
         corpus_rows = cfg.writer.apply(corpus_rows)
-    ctx.cat.append("corpus", corpus_rows)
-    bucket_counts = _obs_get(obs, lambda: {f"b{i}": 0 for i in range(cfg.host_buckets)})
-    if obs_s is not None:
-        cs = _obs_get(obs_s, lambda: sched.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("selected").cast("long")).alias("n_sel")).collect()[0])
-        n_pending, n_sel = int(cs["n"]), int(cs["n_sel"] or 0)
-        if n_pending == 0:
-            sched.unpersist()
-            wall_ms = int((time.monotonic() - t_start) * 1000)
-            ctx.cat.append_local("metrics", _metrics_table([(r, -1, 0, 0, 0, 0, 0, wall_ms)]))
-            return {"round": r, "fetched": 0, "enqueued": 0, "dropped_seen": 0,
-                    "dropped_robots": 0, "deferred": 0, "exhausted": True,
-                    "capped": False, "wall_ms": wall_ms}
-    st_t.lap("fetch+validate+corpus_append")
 
-    # --- extract/enqueue and host-clock update are INDEPENDENT: submit
-    # them as concurrent Spark jobs (two driver threads) — the driver's
-    # serial coordination path is the scaling bottleneck at small round
-    # sizes, and concurrent submission overlaps it. Both write to
-    # different tables (frontier/seen vs hosts), and catalog commits are
-    # per-table, so this is safe.
+    def _do_corpus():
+        ctx.cat.append("corpus", corpus_rows)
+        return _obs_get(obs, lambda: {f"b{i}": 0 for i in range(cfg.host_buckets)})
+
     def _do_enqueue():
         if capped:  # pegasus stops consuming docs once corpus-size trips
             return 0, 0, 0
@@ -353,10 +351,15 @@ def run_round(ctx: RoundContext, r: int, visited_total: int) -> dict:
         # (columnar pruning — the payload bytes are not re-read). Inner
         # join ≡ fetched pages; 404 rows have no links by construction.
         sel_keys = selected.select("url", "url_hash", "priority")
-        if n_sel < 0 or n_sel <= cfg.fetch_broadcast_max:
+        if cfg.fetch_broadcast_max > 0 and (n_sel < 0 or n_sel <= cfg.fetch_broadcast_max):
             sel_keys = F.broadcast(sel_keys)
+        page_links = ctx.pages
+        if cfg.extract_fmts is not None:
+            # content-type gate (pegasus drops non-HTML before extraction):
+            # non-crawlable payloads stay fetched/visited, yield no links
+            page_links = page_links.filter(F.col("fmt").isin(list(cfg.extract_fmts)))
         links = (
-            ctx.pages.select("url_hash", "out_links")
+            page_links.select("url_hash", "out_links")
             .join(sel_keys, "url_hash", "inner")
             .filter(F.col("out_links").isNotNull())
             .select(
@@ -377,14 +380,38 @@ def run_round(ctx: RoundContext, r: int, visited_total: int) -> dict:
         new_hosts = politeness.next_host_state(selected, host_state)
         ctx.cat.overwrite("hosts", new_hosts)
 
+    # --- the corpus append, the extract/enqueue chain and the host-clock
+    # update are pairwise INDEPENDENT (all consume the persisted `sched`;
+    # they write different tables and the txn serializes only the final
+    # CURRENT swaps): submit all three as concurrent Spark jobs. The
+    # driver's serial commit/scheduling path was the measured scaling
+    # bottleneck at small round sizes (BENCH/scaling_crawl.json r2) —
+    # concurrency collapses three job-latency chains into max() of them.
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=2) as pool:
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_corpus = pool.submit(_do_corpus)
         f_enq = pool.submit(_do_enqueue)
         f_hosts = pool.submit(_do_hosts)
+        bucket_counts = f_corpus.result()
         n_enq, dropped_robots, dropped_seen = f_enq.result()
         f_hosts.result()
-    st_t.lap("extract+enqueue | hosts (concurrent)")
+    if obs_s is not None:
+        cs = _obs_get(obs_s, lambda: sched.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("selected").cast("long")).alias("n_sel")).collect()[0])
+        n_pending, n_sel = int(cs["n"]), int(cs["n_sel"] or 0)
+        if n_pending == 0:
+            # exhausted, discovered only after the (empty) writes ran —
+            # the concurrent branches did no data work, their empty
+            # commits publish with the txn and are harmless
+            sched.unpersist()
+            wall_ms = int((time.monotonic() - t_start) * 1000)
+            ctx.cat.append_local("metrics", _metrics_table([(r, -1, 0, 0, 0, 0, 0, wall_ms)]))
+            return {"round": r, "fetched": 0, "enqueued": 0, "dropped_seen": 0,
+                    "dropped_robots": 0, "deferred": 0, "exhausted": True,
+                    "capped": False, "wall_ms": wall_ms}
+    st_t.lap("corpus_append | extract+enqueue | hosts (concurrent)")
 
     # --- metrics: rollup row + per-bucket lineage rows ---
     wall_ms = int((time.monotonic() - t_start) * 1000)

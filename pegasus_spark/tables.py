@@ -25,7 +25,9 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import uuid
+from contextlib import contextmanager
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -37,6 +39,11 @@ class ManifestCatalog:
         self.spark = spark
         self.root = root
         os.makedirs(root, exist_ok=True)
+        # multi-table transaction state: staged {table → version} whose
+        # manifest files are on disk but whose CURRENT pointers haven't
+        # been swapped yet (see txn())
+        self._txn_pending: dict[str, int] | None = None
+        self._txn_lock = threading.Lock()
 
     # ---- paths -----------------------------------------------------
     def _tdir(self, name: str) -> str:
@@ -72,8 +79,18 @@ class ManifestCatalog:
         return not self._manifest(name)["dirs"]
 
     def current_version(self, name: str) -> int:
+        pending = self._txn_pending
+        if pending is not None and name in pending:
+            return pending[name]  # read-your-writes inside a transaction
         with open(os.path.join(self._mdir(name), "CURRENT")) as f:
             return int(f.read().strip())
+
+    def _swap_current(self, name: str, v: int) -> None:
+        cur = os.path.join(self._mdir(name), "CURRENT")
+        tmp = cur + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(v))
+        os.replace(tmp, cur)
 
     def _commit(self, name: str, manifest: dict) -> int:
         v = manifest["version"]
@@ -82,12 +99,38 @@ class ManifestCatalog:
         with open(tmp, "w") as f:
             json.dump(manifest, f)
         os.replace(tmp, mp)
-        cur = os.path.join(self._mdir(name), "CURRENT")
-        tmp2 = cur + ".tmp"
-        with open(tmp2, "w") as f:
-            f.write(str(v))
-        os.replace(tmp2, cur)
+        if self._txn_pending is not None:
+            # stage: the versioned manifest is inert until CURRENT points
+            # at it; the swap happens for every table at txn exit
+            with self._txn_lock:
+                self._txn_pending[name] = v
+        else:
+            self._swap_current(name, v)
         return v
+
+    @contextmanager
+    def txn(self):
+        """Multi-table commit: every append/overwrite inside the block
+        writes its data + versioned manifest immediately (executor-side
+        writes proceed in parallel; reads inside the block see the staged
+        versions), but all CURRENT pointers swap together at exit — so a
+        crawl round's frontier/corpus/bloom/hosts/metrics commits become
+        one atomic unit (Iceberg's multi-table transaction analogue). On
+        error nothing is published: CURRENTs still point at the pre-txn
+        versions, the orphan data/manifests are inert."""
+        if self._txn_pending is not None:
+            yield  # nested: inner block joins the outer transaction
+            return
+        self._txn_pending = {}
+        try:
+            pending = None
+            yield
+            pending = self._txn_pending
+        finally:
+            self._txn_pending = None
+            if pending:
+                for name, v in pending.items():
+                    self._swap_current(name, v)
 
     # ---- I/O -------------------------------------------------------
     def read(self, name: str, version: int | None = None) -> DataFrame:

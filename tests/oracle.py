@@ -54,6 +54,7 @@ def simulate(
     corpus_size: int | None = None,
     max_rounds: int = 10_000,
     seeds: list[str] | None = None,
+    extract_fmts: tuple | None = None,
 ) -> SimResult:
     W = round_width or 8 * min_delay_ms
     pages = web["pages"]
@@ -161,6 +162,8 @@ def simulate(
             seq += 1
             res.visited.add(h)
             page = by_hash.get(h)
+            if page is not None and extract_fmts is not None and page.fmt not in extract_fmts:
+                page = None  # content-type gate: visited, but no links
             if page is not None and not capped:
                 prio = frontier[h][0]
                 base = page.url

@@ -27,6 +27,13 @@ SCENARIOS = {
     "robots-heavy": dict(params=WebParams(seed=13, n_pages=250, n_hosts=10,
                                           disallow_host_frac=0.5, fanout=3.0, n_seeds=4),
                          corpus_size=None),
+    # content-type gate: ~30% opaque (fmt='bin', undecodable) payloads are
+    # fetched + visited but contribute no links (pegasus's non-HTML drop)
+    "opaque-gate": dict(params=WebParams(seed=19, n_pages=250, n_hosts=10,
+                                         fanout=3.0, n_seeds=4, opaque_frac=0.3),
+                        corpus_size=None,
+                        cfg_kw=dict(extract_fmts=("png", "qnt")),
+                        sim_kw=dict(extract_fmts=("png", "qnt"))),
 }
 
 
@@ -42,6 +49,32 @@ def _run_engine(spark, web_dir, job_dir, corpus_size, **cfg_kw):
     return res, corpus, seen, metrics
 
 
+# Golden crawl trace, pinned as LITERALS (not recomputed through the
+# oracle): perf work on the round dataflow cannot silently change crawl
+# semantics without failing this loudly. Matches the 'exhaustion'
+# scenario (seed=7, 300 pages, 20 hosts, fanout 2.0, 5 seeds).
+_GOLDEN_FETCH_VECTOR = [5, 17, 33, 37, 32, 25, 25, 24, 16, 17, 11, 10, 2, 0]
+_GOLDEN_ENQ_VECTOR = [17, 37, 50, 40, 26, 22, 21, 13, 12, 5, 4, 2, 0, 0]
+
+
+def test_golden_trace_regression(spark):
+    sc = SCENARIOS["exhaustion"]
+    web = generate_web(sc["params"])
+    tmp = tempfile.mkdtemp()
+    try:
+        write_web(web, f"{tmp}/web")
+        res, corpus, seen, metrics = _run_engine(
+            spark, f"{tmp}/web", f"{tmp}/job", None)
+        assert res.rounds == len(_GOLDEN_FETCH_VECTOR)
+        assert res.stop_reason == "exhausted"
+        em = metrics.sort_values("round")
+        assert [int(x) for x in em["fetched"]] == _GOLDEN_FETCH_VECTOR
+        assert [int(x) for x in em["enqueued"]] == _GOLDEN_ENQ_VECTOR
+        assert res.visited == sum(_GOLDEN_FETCH_VECTOR) == 254
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 @pytest.mark.parametrize("name", list(SCENARIOS))
 def test_parity(spark, name):
     sc = SCENARIOS[name]
@@ -49,9 +82,10 @@ def test_parity(spark, name):
     tmp = tempfile.mkdtemp()
     try:
         write_web(web, f"{tmp}/web")
-        sim = simulate(web, corpus_size=sc["corpus_size"])
+        sim = simulate(web, corpus_size=sc["corpus_size"], **sc.get("sim_kw", {}))
         res, corpus, seen, metrics = _run_engine(
-            spark, f"{tmp}/web", f"{tmp}/job", sc["corpus_size"])
+            spark, f"{tmp}/web", f"{tmp}/job", sc["corpus_size"],
+            **sc.get("cfg_kw", {}))
 
         # 1. crawl ordering parity: (round, url_hash) sequence identical
         got = list(zip(corpus["fetch_round"], corpus["url_hash"]))
@@ -77,8 +111,12 @@ def test_parity(spark, name):
             for k in ("fetched", "enqueued", "dropped_seen", "dropped_robots", "deferred"):
                 assert int(row.iloc[0][k]) == om[k], f"{name} r{om['round']} {k}"
 
-        # 5. payload invariant: every fetched page decodes valid
-        assert bool(corpus["valid"].all())
+        # 5. payload invariant: every fetched IMAGE decodes valid; opaque
+        # 'bin' payloads are visited but recorded invalid (O7 verdict)
+        imgs = corpus[corpus["fmt"].isin(["png", "qnt"])]
+        assert bool(imgs["valid"].all())
+        opaque = corpus[corpus["fmt"] == "bin"]
+        assert not bool(opaque["valid"].any())
         lossy = corpus[corpus["fmt"] == "qnt"]
         if len(lossy):
             assert float(lossy["psnr"].min()) >= 40.0

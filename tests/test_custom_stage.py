@@ -91,6 +91,35 @@ def test_fetch_shuffle_join_path_matches_broadcast(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_update_state_plug_point(spark):
+    """pegasus's :update-state (default-update-state-fn override): a user
+    callback sees every round's stats before the checkpoint; mutations
+    persist into the checkpoint's stats blob."""
+    import tempfile as _tf
+
+    from pegasus_spark.tables import CheckpointStore
+
+    tmp = tempfile.mkdtemp()
+    try:
+        params = WebParams(seed=29, n_pages=120, n_hosts=6, n_seeds=2)
+        web = generate_web(params)
+        write_web(web, f"{tmp}/web")
+        rounds_seen = []
+
+        def upd(st):
+            rounds_seen.append(st["round"])
+            st["custom_note"] = f"r{st['round']}"
+
+        cfg = CrawlConfig(web_dir=f"{tmp}/web", job_dir=f"{tmp}/job",
+                          seen_parts=4, corpus_size=30, update_state=upd)
+        res = crawl(spark, cfg)
+        assert rounds_seen == list(range(res.rounds))
+        latest = CheckpointStore(f"{tmp}/job").latest()
+        assert latest["stats"]["custom_note"] == f"r{latest['round']}"
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_same_host_extractor_restricts_crawl(spark):
     tmp = tempfile.mkdtemp()
     try:

@@ -100,6 +100,49 @@ def test_embedding_near_dup_pairs(spark):
     assert (3, 9) in pairs
 
 
+def test_embedding_near_dup_lsh_blocked(spark):
+    """End-to-end: signed_projection_bucket output wired in as the
+    near-dup ``block_col`` (the 100 TB blocking path — no label column)."""
+    rng = np.random.default_rng(6)
+    vecs = rng.standard_normal((60, 8)).astype(np.float32)
+    vecs[11] = vecs[2] * 1.001  # planted near-dup: same direction → same bucket
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    b = simops.signed_projection_bucket(df, dim=8, n_planes=4)
+    pairs = {(r["id_a"], r["id_b"]): r["cos"] for r in
+             simops.embedding_near_dup_pairs(b, threshold=0.99,
+                                             block_col="bucket").collect()}
+    assert (2, 11) in pairs and pairs[(2, 11)] >= 0.99
+    # blocking really restricts the join: every emitted pair shares a bucket
+    buckets = {r["vec_id"]: r["bucket"] for r in b.collect()}
+    assert all(buckets[a] == buckets[bb] for a, bb in pairs)
+
+
+def test_simhash_md5_matches_reference(spark, docs):
+    """Pin the md5-twin signature semantics with a pure-Python reference
+    (same spec: two 32-bit md5 halves, frequency-weighted sign-sums)."""
+    import hashlib
+
+    got = {r["doc_id"]: (r["sim_lo"], r["sim_hi"]) for r in
+           simops.simhash_md5(docs).collect()}
+    for doc_id, text in [(0, "the quick brown fox jumps over the lazy dog"), (6, "xy")]:
+        toks = [t for t in text.strip().lower().split() if t]
+        sums = [0] * 64
+        for t in toks:
+            hx = hashlib.md5(t.encode()).hexdigest()
+            hlo, hhi = int(hx[:8], 16), int(hx[8:16], 16)
+            for b in range(32):
+                sums[b] += 1 if (hlo >> b) & 1 else -1
+                sums[32 + b] += 1 if (hhi >> b) & 1 else -1
+        lo = sum(1 << b for b in range(32) if sums[b] > 0)
+        hi = sum(1 << b for b in range(32) if sums[32 + b] > 0)
+        assert got[doc_id] == (lo, hi), f"doc {doc_id}"
+    # exact dup docs agree bit-for-bit
+    assert got[0] == got[1]
+
+
 @pytest.fixture(scope="module")
 def images(spark):
     rng = np.random.default_rng(5)

@@ -70,6 +70,51 @@ def test_render_parse_roundtrip():
         assert (False, "/") not in parsed
 
 
+def test_gate_scales_without_driver_rules_dict(spark):
+    """10^4 hosts through the join gate: verdicts match the scalar spec
+    (allowed_one) and the driver holds NO rules structure — the gate is a
+    DataFrame join + JVM longest-prefix expression end to end."""
+    from pyspark.sql import functions as F
+
+    from pegasus_spark.robots import RobotsCache, allowed_one, make_gate, sorted_rules
+
+    n = 10_000
+    rules_rows, expect_rules = [], {}
+    for k in range(n):
+        host = f"h{k}.example"
+        # vary rule shapes incl. equal-length prefixes (stable-sort tie)
+        rules = [{"allow": True, "prefix": "/"},
+                 {"allow": False, "prefix": f"/p/{k % 10}"},
+                 {"allow": True, "prefix": f"/q/{k % 10}"}]
+        if k % 7 == 0:
+            rules = [{"allow": False, "prefix": "/"}]
+        rules_rows.append((host, rules))
+        expect_rules[host] = sorted(
+            [(r["allow"], r["prefix"]) for r in rules],
+            key=lambda t: len(t[1]), reverse=True)
+    rules_df = spark.createDataFrame(
+        rules_rows, "host string, rules array<struct<allow:boolean,prefix:string>>"
+    ).select("host", sorted_rules(F.col("rules")).alias("rules"))
+    gate = make_gate(rules_df)
+
+    cand = spark.createDataFrame(
+        [(f"h{k}.example", f"http://h{k}.example/p/{k % 10}/x") for k in range(0, n, 3)]
+        + [(f"h{k}.example", f"http://h{k}.example/q/{k % 10}") for k in range(1, n, 3)]
+        + [(f"h{k}.example", f"http://h{k}.example/other") for k in range(2, n, 3)]
+        + [("unknown.example", "http://unknown.example/anything")],
+        "host string, url string",
+    )
+    got = {(r["host"], r["url"]): r["allowed"] for r in gate(cand).collect()}
+    import re
+
+    for (host, url), allowed in got.items():
+        path = re.sub(r"^[a-z][a-z0-9+.-]*://[^/]*", "", url)
+        assert allowed == allowed_one(expect_rules, host, path), (host, url)
+    # structural guarantee: the discover-mode cache has no dict twin
+    assert not hasattr(RobotsCache, "_reload")
+    assert "_dict" not in RobotsCache.__init__.__code__.co_names
+
+
 def test_discover_mode_matches_preparsed_crawl(spark):
     tmp = tempfile.mkdtemp()
     try:

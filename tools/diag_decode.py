@@ -25,11 +25,17 @@ t0=time.monotonic()
 n = pages.select(F.sum(F.octet_length("bytes")+F.octet_length("pixels_ref")).alias("s")).collect()[0]["s"]
 print(f"JVM-only scan+sum: {time.monotonic()-t0:.1f}s ({n/1e9:.1f} GB)", flush=True)
 
-from pegasus_spark.fetch import validate_payload
+from pegasus_spark.fetch import validate_decode
 t0=time.monotonic()
-row = (pages.select("bytes","fmt","w","h","pixels_ref","phash")
-    .withColumn("_v", validate_payload("bytes","fmt","w","h","pixels_ref","phash"))
-    .agg(F.sum(F.col("_v.valid").cast("long")).alias("v"), F.count("*").alias("n")).collect()[0])
+ref_md5 = F.col("ref_md5") if "ref_md5" in pages.columns else F.md5("pixels_ref")
+base = (pages.select("bytes","fmt","w","h","phash", ref_md5.alias("_ref_md5"),
+                     F.when(F.col("fmt") != "png", F.col("pixels_ref")).alias("_ref_lossy"))
+    .withColumn("_v", validate_decode("bytes","fmt","w","h","_ref_lossy")))
+v = F.col("_v")
+valid = (v["decode_ok"] & (v["phash_chk"] == F.col("phash"))
+    & (((F.col("fmt") == "png") & (v["pix_md5"] == F.col("_ref_md5")))
+       | ((F.col("fmt") != "png") & v["lossy_ok"])))
+row = base.agg(F.sum(valid.cast("long")).alias("v"), F.count("*").alias("n")).collect()[0]
 dt = time.monotonic()-t0
 print(f"scan+UDF decode: {dt:.1f}s valid={row['v']}/{row['n']}", flush=True)
 

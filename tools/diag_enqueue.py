@@ -17,7 +17,7 @@ spark.sparkContext.setLogLevel("ERROR")
 
 web = glob.glob("/root/repo/BENCH/fixtures/fast_s42_p150000*")[0]
 from pegasus_spark.round import canonicalize_links, dedupe_candidates
-from pegasus_spark.robots import allowed_filter, load_rules, path_of
+from pegasus_spark.robots import load_rules_df, make_gate, path_of
 from pegasus_spark.seen import SeenSet
 from pegasus_spark.tables import ManifestCatalog
 
@@ -33,9 +33,8 @@ cand = dedupe_candidates(canonicalize_links(links))
 n = cand.count(); t0 = lap(f"canon+dedupe count ({n})", t0)
 cand = cand.persist(); cand.count(); t0 = lap("persist cand", t0)
 
-rules = load_rules(spark, f"{web}/robots_txt.parquet")
-allowed = allowed_filter(spark, rules)
-flagged = cand.withColumn("allowed", allowed(F.col("host"), path_of(F.col("url"))))
+gate = make_gate(load_rules_df(spark, f"{web}/robots_txt.parquet"))
+flagged = gate(cand)
 n2 = flagged.filter("allowed").count(); t0 = lap(f"robots gate count ({n2})", t0)
 
 cat = ManifestCatalog(spark, tempfile.mkdtemp())
@@ -58,7 +57,7 @@ seen2 = SeenSet(cat2, n_parts=8)
 cand2 = dedupe_candidates(canonicalize_links(links))
 t0 = T()
 obs_f = Observation()
-flagged2 = cand2.withColumn("allowed", allowed(F.col("host"), path_of(F.col("url")))).observe(
+flagged2 = gate(cand2).observe(
     obs_f, F.count(F.lit(1)).alias("n"), F.sum(F.col("allowed").cast("long")).alias("n_allowed"))
 obs_n = Observation()
 new2 = seen2.filter_new(flagged2.filter("allowed").drop("allowed")).observe(

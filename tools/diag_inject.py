@@ -24,7 +24,7 @@ print(f"inject_seeds: {time.monotonic()-t0:.1f}s", flush=True)
 
 # --- manual flow (diag_enqueue style) in the SAME session ---
 from pegasus_spark.round import canonicalize_links, dedupe_candidates
-from pegasus_spark.robots import allowed_filter, load_rules, path_of
+from pegasus_spark.robots import load_rules_df, make_gate, path_of
 from pegasus_spark.seen import SeenSet
 from pegasus_spark.tables import ManifestCatalog
 from pyspark.sql import Observation
@@ -36,10 +36,10 @@ links = seeds.select(F.col("url").alias("base_url"), F.col("url").alias("href"),
 cat2 = ManifestCatalog(spark, tempfile.mkdtemp())
 cat2.create("frontier", "url string, url_hash long, host string, priority int, discovered_round int, src_url_hash long")
 seen2 = SeenSet(cat2, n_parts=8, exact_source=lambda: cat2.read("frontier"))
-allowed = allowed_filter(spark, load_rules(spark, f"{web}/robots_txt.parquet"))
+gate = make_gate(load_rules_df(spark, f"{web}/robots_txt.parquet"))
 cand2 = dedupe_candidates(canonicalize_links(links))
 obs_f, obs_n = Observation(), Observation()
-flagged2 = cand2.withColumn("allowed", allowed(F.col("host"), path_of(F.col("url")))).observe(
+flagged2 = gate(cand2).observe(
     obs_f, F.count(F.lit(1)).alias("n"), F.sum(F.col("allowed").cast("long")).alias("n_allowed"))
 new2 = seen2.filter_new(flagged2.filter("allowed").drop("allowed")).observe(
     obs_n, F.count(F.lit(1)).alias("n_new")).persist()
