@@ -98,7 +98,12 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("HTTP://"), F.upper(F.col("source")), F.lit(".EXAMPLE:80/d/"),
         F.col("doc_id").cast("string"), F.lit("#sec"), F.col("doc_id").cast("string"),
     )
-    canon = F.regexp_replace(F.regexp_replace(F.lower(dirty), "#.*$", ""), ":80/", "/")
+    # default-port strip anchored to the authority (scheme://host:80/...),
+    # like canon.py — a path CONTAINING the literal ':80/' is untouched
+    canon = F.regexp_replace(
+        F.regexp_replace(F.lower(dirty), "#.*$", ""),
+        "^([a-z][a-z0-9+.-]*://[^/]*):80(/|$)", "$1$2",
+    )
     return d.select("doc_id", canon.alias("canon_url"))
 
 
@@ -406,7 +411,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    regexp_replace(regexp_replace(
                      lower('HTTP://' || upper(source) || '.EXAMPLE:80/d/' || doc_id || '#sec' || doc_id),
-                     '#.*$', ''), ':80/', '/') AS canon_url
+                     '#.*$', ''), '^([a-z][a-z0-9+.-]*://[^/]*):80(/|$)', '\\1\\2') AS canon_url
             FROM documents
         """,
         "frontier_union_dedup": """

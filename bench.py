@@ -62,19 +62,23 @@ def make_spark(cpus: int):
     # measured 77 s of young-GC stop-the-world in a 300 s run. 256 rows
     # ≈ 15 MB per task batch.
     reader_batch = os.environ.get("PEGASUS_READER_BATCH", "256")
-    # this sandbox VM (Firecracker microVM) faults anonymous memory at
-    # ~330 MB/s and serializes faults on the process mmap lock, which
-    # makes default JVM behavior pathological for a blob pipeline:
+    # this sandbox VM (Firecracker microVM) makes default JVM behavior
+    # pathological for a blob pipeline:
     # - G1's humongous handling of 15-45 MB buffers → 700+ core-s of GC
-    #   (use throughput ParallelGC instead),
-    # - 32 GC threads futex-storm under hypervisor preemption (cap at 8),
-    # - heap growth faults at 330 MB/s mid-benchmark (pre-touch a small
-    #   fixed heap at startup instead),
+    #   (use throughput ParallelGC instead; re-verified r3: G1 loses
+    #   3/3 interleaved passes at local[32]),
+    # - 32 GC threads futex-storm under hypervisor preemption (cap at 8;
+    #   re-verified r3: 16 threads loses 2/2 passes),
     # - parquet vectored I/O allocates per-range heap buffers (disable).
+    # Host characteristics DRIFT between rounds: r2 measured anonymous
+    # first-touch at ~330 MB/s (mmap-lock-serialized) and +AlwaysPreTouch
+    # won; r3 measures ~1.7 GB/s single / 8.7 GB/s aggregate and the SAME
+    # flag loses 3/3 interleaved passes at local[32] (median 25.6s→17.0s
+    # decode without it). Calibrate per host via PEGASUS_JAVA_OPTS.
     driver_mem = os.environ.get("PEGASUS_DRIVER_MEM", "10g")
     java_opts = os.environ.get(
         "PEGASUS_JAVA_OPTS",
-        "-XX:+UseParallelGC -XX:ParallelGCThreads=8 -XX:+AlwaysPreTouch",
+        "-XX:+UseParallelGC -XX:ParallelGCThreads=8",
     )
     return (
         SparkSession.builder.master(f"local[{cpus}]")
@@ -170,6 +174,11 @@ def _run_crawl(spark, web_dir: str, round_width_vt: int, verbose: bool = False,
         seen_parts=8, host_buckets=32,
         cache_pages=cache_pages,
         fetch_broadcast_max=fetch_broadcast_max,
+        # A/B knob: =1 reverts the corpus append to Spark's default
+        # parquet writer shape (128 MB row groups + dictionary) to
+        # re-measure the blob-writer fix (config.corpus_write_options)
+        **({"corpus_write_options": {}}
+           if os.environ.get("PEGASUS_OLD_CORPUS_WRITE") == "1" else {}),
     )
     _warm_crawl_path(spark, web_dir)
     t0 = time.monotonic()

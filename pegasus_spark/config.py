@@ -67,6 +67,18 @@ class CrawlConfig:
     # (10^7-10^8 URLs at design scale would blow the 8 GB broadcast
     # ceiling) fall back to a co-partitioned shuffle join
     fetch_broadcast_max: int = 2_000_000
+    # corpus (blob-table) writer options — Iceberg per-table write
+    # properties analogue. Measured (BENCH/BASELINE.md r3): the default
+    # 128 MB parquet row group makes EVERY writer task buffer 128 MB of
+    # image blobs on-heap — at 32 concurrent writers that is a 4 GB live
+    # set and a GC death spiral (decode+write 78-146 s vs 26 s with this
+    # shape); and dictionary-encoding unique ~30 KB blobs is pure waste
+    # (hashes every value, then falls back). 16 MB groups ≈ 500 blob rows
+    # — column-pruned metadata scans are unaffected.
+    corpus_write_options: dict = field(default_factory=lambda: {
+        "parquet.block.size": str(16 * 1024 * 1024),
+        "parquet.enable.dictionary": "false",
+    })
     # content-type gate (pegasus's defaults drop non-HTML bodies before
     # link extraction): pages whose ``fmt`` is not in this set are still
     # fetched + recorded as visited, but contribute no out-links. None =

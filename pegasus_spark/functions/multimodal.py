@@ -2,10 +2,13 @@
 
 Payloads are opaque ``binary`` columns with typed metadata — exactly the
 corpus schema the crawl engine produces (image_id, bytes, w, h, fmt,
-caption, phash). Image decode is REAL here (pegasus_spark.codec:
-numpy+zlib PNG / QNT — no Pillow in the env); audio/video decode are
-STUBBED behind NotImplementedError with the Spark-side plumbing (schema,
-mapInPandas batch shape, partitioning) real and tested.
+caption, phash). All three modalities decode for REAL on formats whose
+spec needs no external codec: PNG/QNT images (pegasus_spark.codec,
+numpy+zlib), WAV/PCM audio (stdlib ``wave``), YUV4MPEG2 video (y4m —
+text header + fixed-size raw frames). Compressed formats (jpeg, mp3,
+mp4…) would need codec libraries absent from this container; such rows
+report ``decode_ok=false`` / a null marker row instead of raising, so
+mixed corpora scan to completion with per-row status.
 
 All operators are ``mapInPandas``/``pandas_udf`` over Arrow batches.
 Scale note: decode-heavy stages should be repartitioned on a salted key
@@ -111,33 +114,214 @@ def phash_near_dup_pairs(df: DataFrame, max_hamming: int = 6,
     )
 
 
-# ---- stubbed modalities (no audio/video libs in this container) --------
+# ---- audio: WAV/PCM (stdlib wave — no external codec needed) -----------
+# Compressed formats (mp3/ogg/aac) still need a codec library that this
+# container lacks; those rows decode_ok=false rather than raising, so a
+# mixed-corpus scan completes and reports per-row status (same contract
+# as image_features).
 
-AUDIO_FEATURES_DDL = "clip_id string, duration_s double, sample_rate int, rms double"
+AUDIO_FEATURES_DDL = (
+    "clip_id string, duration_s double, sample_rate int, n_channels int, "
+    "rms double, zero_crossing_rate double, spectral_centroid_hz double, "
+    "decode_ok boolean"
+)
+
+
+def wav_decode(data: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM → (float64 mono samples in [-1,1], sample_rate).
+    Stdlib ``wave`` handles the chunk parsing; 8/16/32-bit integer PCM."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(data), "rb") as w:
+        sr = w.getframerate()
+        nch = w.getnchannels()
+        width = w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    dtype, offset, scale = {
+        1: (np.uint8, -128.0, 128.0),      # 8-bit WAV is unsigned
+        2: (np.int16, 0.0, 32768.0),
+        4: (np.int32, 0.0, 2147483648.0),
+    }[width]
+    x = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+    x = (x + offset) / scale
+    if nch > 1:
+        x = x.reshape(-1, nch).mean(axis=1)  # downmix to mono
+    return x, sr
 
 
 def audio_features(df: DataFrame) -> DataFrame:
-    """Audio feature extraction — STUB. The Spark plumbing (schema, Arrow
-    batching) is real; the decoder raises until a codec library exists."""
+    """Audio features over (clip_id, bytes, fmt): duration, RMS energy,
+    zero-crossing rate, spectral centroid (numpy rFFT). Real decode for
+    ``fmt='wav'`` (stdlib); other formats → decode_ok=false."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise NotImplementedError(
-            "audio decode requires an audio codec library not present in "
-            "this environment; plug a decoder into this mapInPandas body"
-        )
-        yield  # pragma: no cover
+        for pdf in batches:
+            n = len(pdf)
+            out = {
+                "clip_id": pdf["clip_id"],
+                "duration_s": np.full(n, np.nan),
+                "sample_rate": np.zeros(n, dtype=np.int32),
+                "n_channels": np.zeros(n, dtype=np.int32),
+                "rms": np.full(n, np.nan),
+                "zero_crossing_rate": np.full(n, np.nan),
+                "spectral_centroid_hz": np.full(n, np.nan),
+                "decode_ok": np.zeros(n, dtype=bool),
+            }
+            for i in range(n):
+                if pdf["fmt"].iloc[i] != "wav":
+                    continue  # no codec for compressed formats in-env
+                try:
+                    import io
+                    import wave
 
-    return df.mapInPandas(gen, schema=AUDIO_FEATURES_DDL)
+                    b = pdf["bytes"].iloc[i]
+                    with wave.open(io.BytesIO(b), "rb") as w:
+                        out["n_channels"][i] = w.getnchannels()
+                    x, sr = wav_decode(b)
+                    if not len(x):
+                        continue
+                    out["sample_rate"][i] = sr
+                    out["duration_s"][i] = round(len(x) / sr, 6)
+                    out["rms"][i] = round(float(np.sqrt(np.mean(x * x))), 6)
+                    out["zero_crossing_rate"][i] = round(
+                        float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8))))), 6
+                    )
+                    mag = np.abs(np.fft.rfft(x))
+                    freqs = np.fft.rfftfreq(len(x), d=1.0 / sr)
+                    denom = float(mag.sum())
+                    if denom > 0:
+                        out["spectral_centroid_hz"][i] = round(
+                            float((freqs * mag).sum() / denom), 3
+                        )
+                    out["decode_ok"][i] = True
+                except Exception:
+                    pass
+            yield pd.DataFrame(out)
+
+    return df.select("clip_id", "bytes", "fmt").mapInPandas(
+        gen, schema=AUDIO_FEATURES_DDL
+    )
+
+
+# ---- video: YUV4MPEG2 (y4m — documented plain-text-header format) ------
+
+def _y4m_parse_header(data: bytes) -> tuple[int, int, float, str, int]:
+    """Parse the ``YUV4MPEG2 W.. H.. F..:.. [C...]`` stream header →
+    (w, h, fps, colorspace, header_end_offset)."""
+    nl = data.index(b"\n")
+    parts = data[:nl].decode("ascii").split(" ")
+    if parts[0] != "YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = 0
+    fps = 0.0
+    cs = "420"  # y4m default colorspace is 4:2:0
+    for p in parts[1:]:
+        if p.startswith("W"):
+            w = int(p[1:])
+        elif p.startswith("H"):
+            h = int(p[1:])
+        elif p.startswith("F"):
+            num, den = p[1:].split(":")
+            fps = int(num) / int(den)
+        elif p.startswith("C"):
+            cs = p[1:]
+    if not (w and h):
+        raise ValueError("y4m header missing W/H")
+    return w, h, fps, cs, nl + 1
+
+
+def _y4m_frame_size(w: int, h: int, cs: str) -> int:
+    if cs.startswith("444"):
+        return 3 * w * h
+    if cs.startswith("420"):
+        return w * h + 2 * ((w // 2) * (h // 2))
+    raise ValueError(f"unsupported y4m colorspace C{cs}")
+
+
+def _yuv_to_rgb(y: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """BT.601 full-range YUV → uint8 RGB (the classic JPEG/JFIF matrix)."""
+    yf, uf, vf = y.astype(np.float64), u.astype(np.float64) - 128, v.astype(np.float64) - 128
+    r = yf + 1.402 * vf
+    g = yf - 0.344136 * uf - 0.714136 * vf
+    b = yf + 1.772 * uf
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255).round().astype(np.uint8)
+
+
+def y4m_decode_frames(data: bytes, every_n: int = 1) -> Iterator[tuple[int, np.ndarray]]:
+    """Iterate (frame_no, RGB ndarray) over a y4m stream, decoding only
+    every ``every_n``-th frame (others are skipped by offset arithmetic —
+    sampling cost is O(frames kept), which is the point of the format
+    choice: fixed frame size ⇒ random access without decoding)."""
+    w, h, _fps, cs, off = _y4m_parse_header(data)
+    fsize = _y4m_frame_size(w, h, cs)
+    frame_no = 0
+    while off < len(data):
+        nl = data.index(b"\n", off)  # per-frame "FRAME[ params]\n" marker
+        if not data[off:nl].startswith(b"FRAME"):
+            raise ValueError(f"bad frame marker at offset {off}")
+        body = nl + 1
+        if body + fsize > len(data):
+            break  # truncated trailing frame
+        if frame_no % every_n == 0:
+            buf = np.frombuffer(data[body:body + fsize], dtype=np.uint8)
+            if cs.startswith("444"):
+                y, u, v = buf.reshape(3, h, w)
+            else:  # 420: upsample chroma by pixel doubling
+                y = buf[: w * h].reshape(h, w)
+                cw, ch = w // 2, h // 2
+                u = buf[w * h: w * h + cw * ch].reshape(ch, cw)
+                v = buf[w * h + cw * ch:].reshape(ch, cw)
+                u = u.repeat(2, axis=0).repeat(2, axis=1)[:h, :w]
+                v = v.repeat(2, axis=0).repeat(2, axis=1)[:h, :w]
+            yield frame_no, _yuv_to_rgb(y, u, v)
+        off = body + fsize
+        frame_no += 1
+
+
+def y4m_encode(frames: "list[np.ndarray]", fps: int = 30) -> bytes:
+    """RGB frames → y4m C444 bytes (inverse BT.601, for fixtures/tests)."""
+    h, w, _ = frames[0].shape
+    out = [f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 C444\n".encode("ascii")]
+    for fr in frames:
+        rf = fr.astype(np.float64)
+        r, g, b = rf[..., 0], rf[..., 1], rf[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        u = (b - y) / 1.772 + 128
+        v = (r - y) / 1.402 + 128
+        planes = np.stack([y, u, v]).clip(0, 255).round().astype(np.uint8)
+        out.append(b"FRAME\n" + planes.tobytes())
+    return b"".join(out)
 
 
 def video_frame_sample(df: DataFrame, every_n: int = 30) -> DataFrame:
-    """Video frame sampling — STUB (same contract as audio_features)."""
+    """Sample every N-th frame of (video_id, bytes, fmt) as PNG bytes.
+    Real decode for ``fmt='y4m'`` (C444/C420); compressed containers
+    (mp4/webm) have no in-env codec → such rows yield no frames and one
+    ``frame_no=-1, frame_png=null`` marker row so failures are visible,
+    not silent. One input row fans out to many output rows — mapInPandas
+    yields per-video DataFrames, so Arrow batch memory stays bounded by
+    frames-per-video, not by the input batch size."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise NotImplementedError(
-            "video decode requires a video codec library not present in "
-            "this environment; plug a decoder into this mapInPandas body"
-        )
-        yield  # pragma: no cover
+        for pdf in batches:
+            for i in range(len(pdf)):
+                vid = pdf["video_id"].iloc[i]
+                rows = []
+                if pdf["fmt"].iloc[i] == "y4m":
+                    try:
+                        for fno, rgb in y4m_decode_frames(
+                            pdf["bytes"].iloc[i], every_n=every_n
+                        ):
+                            rows.append((vid, fno, codec.png_encode(rgb)))
+                    except Exception:
+                        rows = []
+                if not rows:
+                    rows = [(vid, -1, None)]
+                yield pd.DataFrame(
+                    rows, columns=["video_id", "frame_no", "frame_png"]
+                )
 
-    return df.mapInPandas(gen, schema="video_id string, frame_no int, frame_png binary")
+    return df.select("video_id", "bytes", "fmt").mapInPandas(
+        gen, schema="video_id string, frame_no int, frame_png binary"
+    )

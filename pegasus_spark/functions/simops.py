@@ -93,7 +93,11 @@ def signed_projection_bucket(df: DataFrame, dim: int, n_planes: int = 8,
 
     Physical shape: posexplode once, all planes aggregated in ONE
     partial-aggregating groupBy (map-side combine) — linear, codegen'd,
-    and the shuffle carries only (id, n_planes sums)."""
+    and the shuffle carries only (id, n_planes sums). NOTE the posexplode
+    inflates dim× rows through that shuffle: fine for the oracle-checked
+    sandbox path, but at 100 TB use ``lsh_bucket_udf`` (vectorized numpy
+    matmul per Arrow batch — no explode, no shuffle) and treat this form
+    as its cross-engine verification twin."""
     signs = rademacher_signs(dim, n_planes)
     q = F.round(F.col("v").cast("double") * 1e6).cast("long")
     ex = df.select(

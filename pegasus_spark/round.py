@@ -169,7 +169,8 @@ def enqueue_new(ctx: RoundContext, cand: DataFrame, discovered_round: int) -> tu
     # an empty merge is a tiny pass-through cogroup of P bloom rows.
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=2) as pool:
+    enq_workers = 1 if os.environ.get("PEGASUS_ROUND_SERIAL") == "1" else 2
+    with ThreadPoolExecutor(max_workers=enq_workers) as pool:
         f_app = pool.submit(ctx.cat.append, "frontier", rows)
         f_seen = pool.submit(ctx.seen.add, new.select("url_hash"))
         f_app.result()
@@ -340,7 +341,7 @@ def _run_round_inner(ctx: RoundContext, r: int, visited_total: int) -> dict:
         corpus_rows = cfg.writer.apply(corpus_rows)
 
     def _do_corpus():
-        ctx.cat.append("corpus", corpus_rows)
+        ctx.cat.append("corpus", corpus_rows, options=cfg.corpus_write_options)
         return _obs_get(obs, lambda: {f"b{i}": 0 for i in range(cfg.host_buckets)})
 
     def _do_enqueue():
@@ -387,9 +388,12 @@ def _run_round_inner(ctx: RoundContext, r: int, visited_total: int) -> dict:
     # driver's serial commit/scheduling path was the measured scaling
     # bottleneck at small round sizes (BENCH/scaling_crawl.json r2) —
     # concurrency collapses three job-latency chains into max() of them.
+    # PEGASUS_ROUND_SERIAL=1 degrades to sequential submission (A/B knob
+    # for the scaling harness; semantics identical either way).
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=3) as pool:
+    n_workers = 1 if os.environ.get("PEGASUS_ROUND_SERIAL") == "1" else 3
+    with ThreadPoolExecutor(max_workers=n_workers) as pool:
         f_corpus = pool.submit(_do_corpus)
         f_enq = pool.submit(_do_enqueue)
         f_hosts = pool.submit(_do_hosts)

@@ -139,15 +139,22 @@ class ManifestCatalog:
             return self.spark.createDataFrame([], m["schema_ddl"])
         return self.spark.read.schema(m["schema_ddl"]).parquet(*m["dirs"])
 
-    def _write_data(self, name: str, df: DataFrame) -> str:
+    def _write_data(self, name: str, df: DataFrame,
+                    options: dict[str, str] | None = None) -> str:
         d = os.path.join(self._tdir(name), "data", uuid.uuid4().hex)
-        df.write.mode("errorifexists").parquet(d)
+        w = df.write.mode("errorifexists")
+        for k, v in (options or {}).items():
+            w = w.option(k, v)
+        w.parquet(d)
         return d
 
-    def append(self, name: str, df: DataFrame) -> int:
-        """Atomic append commit → new version id."""
+    def append(self, name: str, df: DataFrame,
+               options: dict[str, str] | None = None) -> int:
+        """Atomic append commit → new version id. ``options`` are writer
+        options (e.g. parquet.block.size for blob tables — Iceberg's
+        per-table write properties analogue)."""
         m = self._manifest(name)
-        d = self._write_data(name, df)
+        d = self._write_data(name, df, options)
         return self._commit(name, {
             "version": m["version"] + 1,
             "schema_ddl": m["schema_ddl"],
@@ -155,10 +162,11 @@ class ManifestCatalog:
             "parent": m["version"],
         })
 
-    def overwrite(self, name: str, df: DataFrame) -> int:
+    def overwrite(self, name: str, df: DataFrame,
+                  options: dict[str, str] | None = None) -> int:
         """Atomic replace commit (full-table overwrite) → new version id."""
         m = self._manifest(name)
-        d = self._write_data(name, df)
+        d = self._write_data(name, df, options)
         return self._commit(name, {
             "version": m["version"] + 1,
             "schema_ddl": m["schema_ddl"],

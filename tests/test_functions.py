@@ -176,9 +176,76 @@ def test_phash_near_dup(spark, images):
     assert ("img-0", "img-1") in pairs  # same pixels (qnt loses ≤2/255 → same phash)
 
 
-def test_audio_video_stubs_raise(spark, images):
-    df = spark.createDataFrame([("c1", b"\x00")], "clip_id string, bytes binary")
-    with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
-        multimodal.audio_features(df).collect()
-    with pytest.raises(Exception):
-        multimodal.video_frame_sample(df).collect()
+def _wav_bytes(samples: np.ndarray, sr: int, nch: int = 1) -> bytes:
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(nch)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes((samples * 32767).astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def test_audio_features_wav(spark):
+    sr = 8000
+    t = np.arange(sr)  # 1 s
+    sine = 0.5 * np.sin(2 * np.pi * 440 * t / sr)  # 440 Hz tone
+    silence = np.zeros(sr // 2)  # 0.5 s of silence
+    stereo = np.repeat(sine[: sr // 4, None], 2, axis=1).ravel()  # 0.25 s stereo
+    df = spark.createDataFrame(
+        [
+            ("tone", _wav_bytes(sine, sr), "wav"),
+            ("quiet", _wav_bytes(silence, sr), "wav"),
+            ("stereo", _wav_bytes(stereo.reshape(-1, 2).ravel(), sr, nch=2), "wav"),
+            ("mp3", b"\xffITS-NOT-WAV", "mp3"),
+        ],
+        "clip_id string, bytes binary, fmt string",
+    )
+    feats = {r["clip_id"]: r for r in multimodal.audio_features(df).collect()}
+    tone = feats["tone"]
+    assert tone["decode_ok"] and tone["sample_rate"] == sr and tone["n_channels"] == 1
+    assert abs(tone["duration_s"] - 1.0) < 1e-6
+    assert abs(tone["rms"] - 0.5 / np.sqrt(2)) < 1e-3  # sine RMS = A/√2
+    assert abs(tone["spectral_centroid_hz"] - 440.0) < 5.0  # energy at the tone
+    assert feats["quiet"]["decode_ok"] and feats["quiet"]["rms"] == 0.0
+    assert feats["stereo"]["n_channels"] == 2
+    assert abs(feats["stereo"]["duration_s"] - 0.25) < 1e-6
+    assert not feats["mp3"]["decode_ok"]  # no codec in env → flagged, not raised
+
+
+def test_video_frame_sample_y4m(spark):
+    rng = np.random.default_rng(7)
+    frames = [rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8) for _ in range(7)]
+    df = spark.createDataFrame(
+        [
+            ("v1", multimodal.y4m_encode(frames, fps=30), "y4m"),
+            ("v2", b"\x00not-a-video", "mp4"),
+        ],
+        "video_id string, bytes binary, fmt string",
+    )
+    out = multimodal.video_frame_sample(df, every_n=3).collect()
+    got = {(r["video_id"], r["frame_no"]): r["frame_png"] for r in out}
+    assert {k for k in got if k[0] == "v1"} == {("v1", 0), ("v1", 3), ("v1", 6)}
+    # C444 YUV roundtrip is lossy only by rounding: every pixel within ±2
+    px0 = codec.png_decode(got[("v1", 3)])
+    assert px0.shape == (16, 16, 3)
+    assert np.abs(px0.astype(int) - frames[3].astype(int)).max() <= 2
+    assert got[("v2", -1)] is None  # undecodable container → marker row
+
+
+def test_y4m_420_colorspace():
+    # 4:2:0 chroma subsampling path, pure-python (no Spark needed)
+    w, h = 8, 8
+    y = np.full((h, w), 120, dtype=np.uint8)
+    u = np.full((h // 2, w // 2), 128, dtype=np.uint8)
+    v = np.full((h // 2, w // 2), 128, dtype=np.uint8)
+    data = (b"YUV4MPEG2 W8 H8 F30:1 C420\n" + b"FRAME\n"
+            + y.tobytes() + u.tobytes() + v.tobytes())
+    out = list(multimodal.y4m_decode_frames(data))
+    assert len(out) == 1
+    fno, arr = out[0]
+    assert fno == 0 and arr.shape == (8, 8, 3)
+    assert np.all(arr == 120)  # neutral chroma → gray at Y level
