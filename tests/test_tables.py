@@ -70,3 +70,33 @@ def test_checkpoint_store(tmp_path):
     ck.save(1, {"visited": 9, "stopped": True})
     assert ck.latest()["round"] == 1
     assert ck.latest()["visited"] == 9
+
+
+def test_append_writer_options_reach_parquet(spark, cat, tmp_path):
+    """Blob-table writer shape (CrawlConfig.corpus_write_options):
+    append(options=...) must reach the parquet writer — bounded row
+    groups and NO dictionary encoding for the blob column."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from pegasus_spark.config import CrawlConfig
+
+    import numpy as np
+
+    cat.create("blobs", "id long, blob binary")
+    rng = np.random.default_rng(3)
+    # incompressible payloads so the 16 MB row-group bound actually trips
+    # (snappy-compressed buffered size is what the writer checks)
+    rows = [(i, rng.integers(0, 256, 4096, dtype=np.uint8).tobytes())
+            for i in range(10_000)]
+    df = spark.createDataFrame(rows, "id long, blob binary").coalesce(1)
+    opts = CrawlConfig(web_dir="", job_dir="").corpus_write_options
+    cat.append("blobs", df, options=opts)
+    f = glob.glob(str(cat._tdir("blobs")) + "/data/*/*.parquet")[0]
+    md = pq.ParquetFile(f).metadata
+    # 20k rows x ~2 KB = ~40 MB raw -> >1 row group at the 16 MB bound
+    assert md.num_row_groups > 1, md.num_row_groups
+    for g in range(md.num_row_groups):
+        encs = md.row_group(g).column(1).encodings
+        assert not any("DICTIONARY" in e for e in encs), encs
