@@ -98,11 +98,13 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("HTTP://"), F.upper(F.col("source")), F.lit(".EXAMPLE:80/d/"),
         F.col("doc_id").cast("string"), F.lit("#sec"), F.col("doc_id").cast("string"),
     )
-    # default-port strip anchored to the authority (scheme://host:80/...),
-    # like canon.py — a path CONTAINING the literal ':80/' is untouched
+    # default-port strip anchored to the http authority (http://host:80/),
+    # matching canon.py exactly: :80 is default only for the http scheme
+    # (canon strips :443 for https the same way), and a path CONTAINING
+    # the literal ':80/' is untouched
     canon = F.regexp_replace(
         F.regexp_replace(F.lower(dirty), "#.*$", ""),
-        "^([a-z][a-z0-9+.-]*://[^/]*):80(/|$)", "$1$2",
+        "^(http://[^/]*):80(/|$)", "$1$2",
     )
     return d.select("doc_id", canon.alias("canon_url"))
 
@@ -279,6 +281,36 @@ def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming near-dup over the md5-twin simhash: banded bucket join +
+    bit_count verify, fully value-checked cross-engine (r3 missing #3).
+    The signature aggregation is materialized once (localCheckpoint) so
+    it doesn't execute inside both sides of the pair self-join."""
+    from pegasus_spark.functions.simops import hamming_band_pairs_2x32, simhash_md5
+
+    d = _t(spark, sf_dir, "documents")
+    sigs = simhash_md5(d).select("doc_id", "sim_lo", "sim_hi").localCheckpoint(eager=True)
+    return hamming_band_pairs_2x32(
+        sigs, "doc_id", "sim_lo", "sim_hi", max_hamming=7, band_bits=8
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "hamming")
+
+
+def q_embedding_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """phash-style banded Hamming near-dup over the 64-plane projection
+    signature of embeddings — integer-exact end to end, so the verify
+    step (bit_count) has no float-comparison ambiguity cross-engine."""
+    from pegasus_spark.functions.simops import (
+        hamming_band_pairs_2x32,
+        signed_projection_sig64,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    sigs = signed_projection_sig64(e, _ANN_DIM).localCheckpoint(eager=True)
+    return hamming_band_pairs_2x32(
+        sigs, "vec_id", "sig_lo", "sig_hi", max_hamming=15, band_bits=4
+    )
+
+
 _NEAR_DUP_LSH_PLANES = 4  # 16 buckets over the testdata's 500 vectors
 
 
@@ -294,6 +326,12 @@ def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "embeddings")
     b = signed_projection_bucket(e, _ANN_DIM, n_planes=_NEAR_DUP_LSH_PLANES)
+    # the bucket aggregation (posexplode + groupBy + join-back) would
+    # otherwise execute inside BOTH sides of the pair self-join;
+    # materialize it once. At scale the bucket column is persisted at
+    # write time (partition-by-bucket layout) — this is the query-local
+    # analogue of that.
+    b = b.select("vec_id", "label", "embedding", "bucket").localCheckpoint(eager=True)
     return embedding_near_dup_pairs(b, threshold=0.2, block_col="bucket")
 
 
@@ -354,6 +392,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "simhash_signatures": q_simhash_signatures,
+        "simhash_near_dup_pairs": q_simhash_near_dup_pairs,
+        "embedding_hamming_pairs": q_embedding_hamming_pairs,
         "ann_lsh_bucket": q_ann_lsh_bucket,
     }
 
@@ -411,7 +451,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    regexp_replace(regexp_replace(
                      lower('HTTP://' || upper(source) || '.EXAMPLE:80/d/' || doc_id || '#sec' || doc_id),
-                     '#.*$', ''), '^([a-z][a-z0-9+.-]*://[^/]*):80(/|$)', '\\1\\2') AS canon_url
+                     '#.*$', ''), '^(http://[^/]*):80(/|$)', '\\1\\2') AS canon_url
             FROM documents
         """,
         "frontier_union_dedup": """
@@ -560,6 +600,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_bucket": _ann_oracle(),
         "embedding_near_dup_lsh": _near_dup_lsh_oracle(),
         "simhash_signatures": _simhash_oracle(),
+        "simhash_near_dup_pairs": _simhash_near_dup_oracle(),
+        "embedding_hamming_pairs": _embedding_hamming_oracle(),
     }
 
 
@@ -614,8 +656,9 @@ def _near_dup_lsh_oracle() -> str:
     """
 
 
-def _simhash_oracle() -> str:
-    """simhash_md5's twin: tokenization, the two 32-bit md5 halves, 64
+def _simhash_cte() -> str:
+    """Shared CTE chain ending in ``sg(doc_id, sim_lo, sim_hi)`` —
+    simhash_md5's twin: tokenization, the two 32-bit md5 halves, 64
     sign-sums and the bit assembly all in DuckDB SQL — generated column
     lists, no 64-line hand-transcription to drift."""
     sums = ",\n                 ".join(
@@ -631,7 +674,7 @@ def _simhash_oracle() -> str:
         )
 
     return f"""
-        WITH tok AS (
+        tok AS (
           SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
           FROM documents),
         h AS (
@@ -647,9 +690,87 @@ def _simhash_oracle() -> str:
           SELECT doc_id,
                  CAST({assemble('lo')} AS BIGINT) AS sim_lo,
                  CAST({assemble('hi')} AS BIGINT) AS sim_hi
-          FROM s)
-        SELECT d.doc_id,
-               COALESCE(sig.sim_lo, 0) AS sim_lo,
-               COALESCE(sig.sim_hi, 0) AS sim_hi
-        FROM documents d LEFT JOIN sig ON d.doc_id = sig.doc_id
+          FROM s),
+        sg AS (
+          SELECT d.doc_id,
+                 COALESCE(sig.sim_lo, 0) AS sim_lo,
+                 COALESCE(sig.sim_hi, 0) AS sim_hi
+          FROM documents d LEFT JOIN sig ON d.doc_id = sig.doc_id)"""
+
+
+def _simhash_oracle() -> str:
+    return f"""
+        WITH {_simhash_cte()}
+        SELECT doc_id, sim_lo, sim_hi FROM sg
     """
+
+
+def _hamming_pairs_sql(sig_cte: str, sig_rel: str, id_col: str,
+                       lo: str, hi: str, n_bands: int, band_bits: int,
+                       max_hamming: int, out_a: str, out_b: str) -> str:
+    """Banded-Hamming pairs over a (id, lo, hi) signature relation —
+    the DuckDB twin of simops.hamming_band_pairs_2x32 (band explosion
+    via a range cross join, verify via integer bit_count/xor)."""
+    per_half = n_bands // 2
+    mask = (1 << band_bits) - 1
+    return f"""
+        WITH {sig_cte},
+        bands AS (
+          SELECT {id_col}, {lo}, {hi}, t.b AS band_id,
+                 CASE WHEN t.b < {per_half}
+                      THEN ({lo} >> (CAST(t.b AS INT) * {band_bits})) & {mask}
+                      ELSE ({hi} >> ((CAST(t.b AS INT) - {per_half}) * {band_bits})) & {mask}
+                 END AS band_val
+          FROM {sig_rel} CROSS JOIN range({n_bands}) t(b))
+        SELECT DISTINCT a.{id_col} AS {out_a}, c.{id_col} AS {out_b},
+               CAST(bit_count(xor(a.{lo}, c.{lo}))
+                  + bit_count(xor(a.{hi}, c.{hi})) AS BIGINT) AS hamming
+        FROM bands a JOIN bands c
+          ON a.band_id = c.band_id AND a.band_val = c.band_val
+         AND a.{id_col} < c.{id_col}
+        WHERE CAST(bit_count(xor(a.{lo}, c.{lo}))
+                 + bit_count(xor(a.{hi}, c.{hi})) AS BIGINT) <= {max_hamming}
+    """
+
+
+def _simhash_near_dup_oracle() -> str:
+    return _hamming_pairs_sql(
+        _simhash_cte(), "sg", "doc_id", "sim_lo", "sim_hi",
+        n_bands=8, band_bits=8, max_hamming=7, out_a="doc_a", out_b="doc_b",
+    )
+
+
+def _sig64_cte() -> str:
+    """CTE chain ending in ``sg(vec_id, sig_lo, sig_hi)`` — the DuckDB
+    twin of simops.signed_projection_sig64: 64 literal ±1 planes, exact
+    integer projection sums, sign bits split across two 32-bit longs."""
+    from pegasus_spark.functions.simops import rademacher_signs
+
+    signs = rademacher_signs(_ANN_DIM, 64)
+    values = ", ".join(
+        f"({j}, [{', '.join(str(s) for s in signs[j])}])" for j in range(64)
+    )
+    return f"""
+        ex AS (
+          SELECT vec_id,
+                 CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS q,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings),
+        planes AS (
+          SELECT j, unnest(sv) AS s, generate_subscripts(sv, 1) AS i
+          FROM (VALUES {values}) t(j, sv)),
+        proj AS (
+          SELECT vec_id, j, CAST(SUM(q * s) AS BIGINT) AS pr
+          FROM ex JOIN planes USING (i) GROUP BY 1, 2),
+        sg AS (
+          SELECT vec_id,
+                 CAST(SUM(CASE WHEN j < 32 AND pr > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS sig_lo,
+                 CAST(SUM(CASE WHEN j >= 32 AND pr > 0 THEN (CAST(1 AS BIGINT) << (j - 32)) ELSE 0 END) AS BIGINT) AS sig_hi
+          FROM proj GROUP BY 1)"""
+
+
+def _embedding_hamming_oracle() -> str:
+    return _hamming_pairs_sql(
+        _sig64_cte(), "sg", "vec_id", "sig_lo", "sig_hi",
+        n_bands=16, band_bits=4, max_hamming=15, out_a="id_a", out_b="id_b",
+    )

@@ -34,7 +34,8 @@ QUERY_NAMES = [
     "text_quality", "doc_fingerprint", "dedup_exact", "langid",
     "token_counts_by_source", "ngram_jaccard_pairs", "minhash_lsh_pairs",
     "embedding_cosine_topk", "embedding_near_dup_pairs",
-    "embedding_near_dup_lsh", "simhash_signatures", "ann_lsh_bucket",
+    "embedding_near_dup_lsh", "simhash_signatures", "simhash_near_dup_pairs",
+    "embedding_hamming_pairs", "ann_lsh_bucket",
 ]
 
 

@@ -138,13 +138,19 @@ def wav_decode(data: bytes) -> tuple[np.ndarray, int]:
         nch = w.getnchannels()
         width = w.getsampwidth()
         raw = w.readframes(w.getnframes())
-    dtype, offset, scale = {
-        1: (np.uint8, -128.0, 128.0),      # 8-bit WAV is unsigned
-        2: (np.int16, 0.0, 32768.0),
-        4: (np.int32, 0.0, 2147483648.0),
-    }[width]
-    x = np.frombuffer(raw, dtype=dtype).astype(np.float64)
-    x = (x + offset) / scale
+    if width == 3:  # 24-bit PCM: 3-byte little-endian two's complement
+        b = np.frombuffer(raw, dtype=np.uint8)
+        b = b[: (len(b) // 3) * 3].reshape(-1, 3).astype(np.int64)
+        x = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        x = np.where(x >= 1 << 23, x - (1 << 24), x).astype(np.float64) / 8388608.0
+    else:
+        dtype, offset, scale = {
+            1: (np.uint8, -128.0, 128.0),      # 8-bit WAV is unsigned
+            2: (np.int16, 0.0, 32768.0),
+            4: (np.int32, 0.0, 2147483648.0),
+        }[width]
+        x = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+        x = (x + offset) / scale
     if nch > 1:
         x = x.reshape(-1, nch).mean(axis=1)  # downmix to mono
     return x, sr
@@ -206,9 +212,12 @@ def audio_features(df: DataFrame) -> DataFrame:
 
 # ---- video: YUV4MPEG2 (y4m — documented plain-text-header format) ------
 
-def _y4m_parse_header(data: bytes) -> tuple[int, int, float, str, int]:
-    """Parse the ``YUV4MPEG2 W.. H.. F..:.. [C...]`` stream header →
-    (w, h, fps, colorspace, header_end_offset)."""
+def _y4m_parse_header(data: bytes) -> tuple[int, int, float, str, bool, int]:
+    """Parse the ``YUV4MPEG2 W.. H.. F..:.. [C...] [X...]`` stream header →
+    (w, h, fps, colorspace, limited_range, header_end_offset). Range
+    defaults to FULL (this module's encoder writes full-range); streams
+    declaring ``XCOLORRANGE=LIMITED`` (e.g. ffmpeg output) get the
+    BT.601 limited-range (Y 16-235 / C 16-240) expansion in _yuv_to_rgb."""
     nl = data.index(b"\n")
     parts = data[:nl].decode("ascii").split(" ")
     if parts[0] != "YUV4MPEG2":
@@ -216,6 +225,7 @@ def _y4m_parse_header(data: bytes) -> tuple[int, int, float, str, int]:
     w = h = 0
     fps = 0.0
     cs = "420"  # y4m default colorspace is 4:2:0
+    limited = False
     for p in parts[1:]:
         if p.startswith("W"):
             w = int(p[1:])
@@ -226,9 +236,11 @@ def _y4m_parse_header(data: bytes) -> tuple[int, int, float, str, int]:
             fps = int(num) / int(den)
         elif p.startswith("C"):
             cs = p[1:]
+        elif p.startswith("X") and p[1:].upper() == "COLORRANGE=LIMITED":
+            limited = True
     if not (w and h):
         raise ValueError("y4m header missing W/H")
-    return w, h, fps, cs, nl + 1
+    return w, h, fps, cs, limited, nl + 1
 
 
 def _y4m_frame_size(w: int, h: int, cs: str) -> int:
@@ -239,9 +251,18 @@ def _y4m_frame_size(w: int, h: int, cs: str) -> int:
     raise ValueError(f"unsupported y4m colorspace C{cs}")
 
 
-def _yuv_to_rgb(y: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
-    """BT.601 full-range YUV → uint8 RGB (the classic JPEG/JFIF matrix)."""
-    yf, uf, vf = y.astype(np.float64), u.astype(np.float64) - 128, v.astype(np.float64) - 128
+def _yuv_to_rgb(y: np.ndarray, u: np.ndarray, v: np.ndarray,
+                limited: bool = False) -> np.ndarray:
+    """BT.601 YUV → uint8 RGB. Full-range by default (the JPEG/JFIF
+    matrix); ``limited=True`` first expands studio-swing Y 16-235 /
+    C 16-240 to full swing (ffmpeg's default y4m output is limited —
+    declared via the XCOLORRANGE header param)."""
+    yf = y.astype(np.float64)
+    uf, vf = u.astype(np.float64) - 128, v.astype(np.float64) - 128
+    if limited:
+        yf = (yf - 16.0) * (255.0 / 219.0)
+        uf = uf * (255.0 / 224.0)
+        vf = vf * (255.0 / 224.0)
     r = yf + 1.402 * vf
     g = yf - 0.344136 * uf - 0.714136 * vf
     b = yf + 1.772 * uf
@@ -252,14 +273,20 @@ def y4m_decode_frames(data: bytes, every_n: int = 1) -> Iterator[tuple[int, np.n
     """Iterate (frame_no, RGB ndarray) over a y4m stream, decoding only
     every ``every_n``-th frame (others are skipped by offset arithmetic —
     sampling cost is O(frames kept), which is the point of the format
-    choice: fixed frame size ⇒ random access without decoding)."""
-    w, h, _fps, cs, off = _y4m_parse_header(data)
+    choice: fixed frame size ⇒ random access without decoding).
+
+    Truncation/corruption contract: an unparseable *stream header* raises
+    (the row is undecodable); any malformed or truncated *tail* —
+    truncated frame body, missing newline, or a bad FRAME marker
+    mid-stream — stops iteration and yields the frames decoded so far,
+    so partial streams always surface their valid prefix consistently."""
+    w, h, _fps, cs, limited, off = _y4m_parse_header(data)
     fsize = _y4m_frame_size(w, h, cs)
     frame_no = 0
     while off < len(data):
-        nl = data.index(b"\n", off)  # per-frame "FRAME[ params]\n" marker
-        if not data[off:nl].startswith(b"FRAME"):
-            raise ValueError(f"bad frame marker at offset {off}")
+        nl = data.find(b"\n", off)  # per-frame "FRAME[ params]\n" marker
+        if nl < 0 or not data[off:nl].startswith(b"FRAME"):
+            break  # malformed/truncated tail: keep the decoded prefix
         body = nl + 1
         if body + fsize > len(data):
             break  # truncated trailing frame
@@ -274,7 +301,7 @@ def y4m_decode_frames(data: bytes, every_n: int = 1) -> Iterator[tuple[int, np.n
                 v = buf[w * h + cw * ch:].reshape(ch, cw)
                 u = u.repeat(2, axis=0).repeat(2, axis=1)[:h, :w]
                 v = v.repeat(2, axis=0).repeat(2, axis=1)[:h, :w]
-            yield frame_no, _yuv_to_rgb(y, u, v)
+            yield frame_no, _yuv_to_rgb(y, u, v, limited=limited)
         off = body + fsize
         frame_no += 1
 

@@ -73,6 +73,49 @@ def test_hosts_independent(spark):
         assert list(out[out["host"] == h].sort_values("rn")["fetch_vt"]) == [0, 2000, 4000]
 
 
+def test_two_stage_prune_matches_one_stage(spark):
+    """The salted pre-prune (politeness.py stage 1) must leave the
+    selected set, its rn/fetch_vt values, and the output row count
+    bit-identical to the one-stage spec. Hashes are laid out so MANY rows
+    collide per salt bucket (forcing real pruning at salt_buckets=4) on a
+    hot host, with a second cold host and a crawl-delayed third."""
+    rows = (
+        [(f"a{i}", i * 4, "a", i % 3, i % 2, None) for i in range(60)]  # hot: all salt-0
+        + [(f"b{i}", i * 4 + 1, "b", 0, 0, None) for i in range(3)]
+        + [(f"c{i}", i * 4 + 2, "c", 0, 0, 4000) for i in range(20)]
+    )
+    pending = _pending(spark, rows)
+    hosts = _hosts(spark, [("a", 3000)])
+    out = politeness.schedule(pending, hosts, 0, 8000, 2000, salt_buckets=4).toPandas()
+    assert len(out) == len(rows)  # every pending row present exactly once
+
+    # one-stage reference in pandas
+    import pandas as pd
+
+    ref = pd.DataFrame(rows, columns=["url", "url_hash", "host", "priority",
+                                      "discovered_round", "crawl_delay_ms"])
+    next_vt = {"a": 3000}
+    sel_ref = {}
+    for host, g in ref.groupby("host"):
+        g = g.sort_values(["priority", "discovered_round", "url_hash"])
+        cd = g["crawl_delay_ms"].iloc[0]
+        d = max(2000, 0 if pd.isna(cd) else int(cd))
+        t0 = max(0, next_vt.get(host, 0))
+        for rn, (_, r) in enumerate(g.iterrows(), start=1):
+            vt = t0 + (rn - 1) * d
+            if vt < 8000:
+                sel_ref[int(r["url_hash"])] = (rn, vt)
+
+    sel = out[out["selected"]]
+    got = {int(r.url_hash): (int(r.rn), int(r.fetch_vt)) for r in sel.itertuples()}
+    assert got == sel_ref
+    # pruned tail: not selected, NULL schedule slots, rows preserved
+    tail = out[out["rn"].isna()]
+    assert len(tail) > 0  # pruning actually engaged at salt_buckets=4
+    assert not tail["selected"].any()
+    assert tail["fetch_vt"].isna().all()
+
+
 def test_next_host_state_advances_only_fetched(spark):
     rows = [(f"u{i}", i, "a", 0, 0, None) for i in range(6)]
     sched = politeness.schedule(

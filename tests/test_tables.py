@@ -95,7 +95,7 @@ def test_append_writer_options_reach_parquet(spark, cat, tmp_path):
     cat.append("blobs", df, options=opts)
     f = glob.glob(str(cat._tdir("blobs")) + "/data/*/*.parquet")[0]
     md = pq.ParquetFile(f).metadata
-    # 20k rows x ~2 KB = ~40 MB raw -> >1 row group at the 16 MB bound
+    # 10k rows x 4 KB = ~40 MB raw -> >1 row group at the 16 MB bound
     assert md.num_row_groups > 1, md.num_row_groups
     for g in range(md.num_row_groups):
         encs = md.row_group(g).column(1).encodings

@@ -1,15 +1,19 @@
-"""Quantify the politeness host-window skew bound (VERDICT r2 item 9).
+"""Quantify the politeness-selection skew bound (VERDICT r2 item 9 / r3 #1).
 
-The per-host politeness window is the one shuffle keyed by raw host (a
-hot host CANNOT be split there — the rank is per-host sequential); the
-expensive fetch/decode stage re-shuffles on hash(url_hash) partitioning,
-which is uniform regardless of host skew. This script measures both row
-distributions on a Zipf-heavy fixture and prints one JSON line:
+Selection is two-stage (politeness.py): a per-(host, salt) partial top-K
+prune, then the exact per-host window on the survivors. This script
+measures, on a Zipf-heavy fixture with EVERY page pending at once (the
+worst case — a hot host owning most of the frontier):
 
-  window: rows per window-shuffle partition (max share = the skew bound)
-  decode: rows per decode-stage partition (should be ~uniform)
+  stage1_window: rows per (host,salt)-shuffle partition — the only
+      shuffle that sees the full pending set; max share should be
+      ~hottest_host_share / salt_buckets.
+  stage2_window: rows per host-shuffle partition of the PRUNED set —
+      budget-bounded (≤ salt_buckets · ⌈W/delay⌉ per host), so both its
+      absolute size and its skew are independent of frontier size.
+  decode: rows per decode-stage partition (hash(url_hash) — ~uniform).
 
-Usage: python tools/diag_skew.py [n_pages] [zipf_s]
+Usage: python tools/diag_skew.py [n_pages] [zipf_s] [round_width_vt]
 """
 
 import json
@@ -40,6 +44,8 @@ def dist(df) -> dict:
 def main():
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 30_000
     zipf_s = float(sys.argv[2]) if len(sys.argv) > 2 else 2.0
+    # realistic round horizon: W/delay = 8 fetch slots per host per round
+    round_width = int(sys.argv[3]) if len(sys.argv) > 3 else 16_000
     shuffle_parts = int(os.environ.get("PEGASUS_SHUFFLE_PARTS", "64"))
 
     from pegasus_spark import politeness
@@ -71,20 +77,32 @@ def main():
         "crawl_delay_ms", F.lit(None).cast("long"))
     host_state = spark.createDataFrame([], "host string, next_vt long")
 
-    sched = politeness.schedule(pending, host_state, 0, 1 << 60, 2000)
-    # the window output partitioning IS the host-hash exchange
-    window_dist = dist(sched.select("host"))
+    salt_buckets = 32
+    cand = politeness._with_delay(pending, host_state, 2000)
+    survivors, _ = politeness._prune_to_horizon(cand, 0, round_width, salt_buckets)
+    # stage 1: the (host,salt) exchange feeding the prune window — the
+    # only shuffle keyed on the full pending set
+    salted = cand.withColumn(
+        "_salt", F.pmod(F.col("url_hash"), F.lit(salt_buckets)).cast("int")
+    ).repartition(shuffle_parts, "host", "_salt")
+    stage1_dist = dist(salted.select("host"))
+    # stage 2: the host exchange over the PRUNED set
+    stage2_dist = dist(survivors.repartition(shuffle_parts, "host").select("host"))
 
+    sched = politeness.schedule(pending, host_state, 0, round_width, 2000,
+                                salt_buckets=salt_buckets)
     # the decode stage's physical distribution: hash(url_hash) exchange
-    decode_in = sched.repartition(shuffle_parts, "url_hash")
+    decode_in = sched.filter("selected").repartition(shuffle_parts, "url_hash")
     decode_dist = dist(decode_in.select("url_hash"))
 
     hot = pages.groupBy("host").count().orderBy(F.desc("count")).limit(1).collect()[0]
     out = {
-        "n_pages": n_pages, "zipf_s": zipf_s, "shuffle_partitions": shuffle_parts,
+        "n_pages": n_pages, "zipf_s": zipf_s, "round_width_vt": round_width,
+        "salt_buckets": salt_buckets, "shuffle_partitions": shuffle_parts,
         "hottest_host_rows": int(hot["count"]),
         "hottest_host_share": round(int(hot["count"]) / n_pages, 4),
-        "window_shuffle": window_dist,
+        "stage1_window": stage1_dist,
+        "stage2_window": stage2_dist,
         "decode_stage": decode_dist,
     }
     print(json.dumps(out))
