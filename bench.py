@@ -115,7 +115,7 @@ def crawl_bench(spark, n_pages: int, verbose: bool = False,
     from pegasus_spark.crawl import crawl
     from pegasus_spark.fixtures import WebParams, materialize
 
-    if profile in ("drain_giant", "drain_giant_shuffle"):
+    if profile in ("drain_giant", "drain_giant_shuffle", "drain_giant_bucketed"):
         # ONE giant fetch round (every page seeded, W covers the hottest
         # host): the per-round driver time a 10^10-URL crawl amortizes to
         # ~0 is amortized the same way here; decode+validate dominates.
@@ -132,13 +132,25 @@ def crawl_bench(spark, n_pages: int, verbose: bool = False,
             os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "fixtures"),
             procs=16,
         )
+        extra = {}
+        if profile == "drain_giant_bucketed":
+            # the 10^7-10^8-URL-round strategy *with* the store laid out
+            # as a bucket(B, url_hash) table: the fetch join runs
+            # bucket-wise (SPJ shape, zero payload shuffle). Relayout is
+            # one-time table maintenance — outside the crawl clock.
+            from pegasus_spark.fetch import bucketize_store
+
+            B = int(os.environ.get("PEGASUS_STORE_BUCKETS", "16"))
+            bdir = bucketize_store(spark, web_dir, B)
+            extra = dict(pages_bucketed_dir=bdir, store_bucket_count=B)
         return _run_crawl(
             spark, web_dir, round_width_vt=2_000_000,
             verbose=verbose, cache_pages=False,
-            # drain_giant_shuffle: force the size-gated fetch past its
-            # broadcast ceiling so the co-partitioned shuffle-join path
-            # (the 10^7-10^8-URL-round strategy) carries the whole drain
-            fetch_broadcast_max=0 if profile == "drain_giant_shuffle" else 2_000_000,
+            # drain_giant_shuffle / _bucketed: force the size-gated fetch
+            # past its broadcast ceiling so the giant-round join strategy
+            # (shuffle vs bucket-wise SPJ) carries the whole drain
+            fetch_broadcast_max=0 if profile != "drain_giant" else 2_000_000,
+            **extra,
         )
     if profile == "drain":
         # few huge rounds, png-only payloads (decode cost ≈ real-world
@@ -163,7 +175,8 @@ def crawl_bench(spark, n_pages: int, verbose: bool = False,
 
 
 def _run_crawl(spark, web_dir: str, round_width_vt: int, verbose: bool = False,
-               cache_pages: bool = True, fetch_broadcast_max: int = 2_000_000) -> dict:
+               cache_pages: bool = True, fetch_broadcast_max: int = 2_000_000,
+               **cfg_extra) -> dict:
     from pegasus_spark.config import CrawlConfig
     from pegasus_spark.crawl import crawl
 
@@ -175,6 +188,7 @@ def _run_crawl(spark, web_dir: str, round_width_vt: int, verbose: bool = False,
         seen_parts=8, host_buckets=32,
         cache_pages=cache_pages,
         fetch_broadcast_max=fetch_broadcast_max,
+        **cfg_extra,
         # A/B knob: =1 reverts the corpus append to Spark's default
         # parquet writer shape (128 MB row groups + dictionary) to
         # re-measure the blob-writer fix (config.corpus_write_options)
@@ -304,6 +318,45 @@ def query_bench(spark, sf_dir: str) -> dict:
     return times
 
 
+def _crawl_multi_pass(n_passes: int) -> dict:
+    """Run the headline crawl N times, each in a FRESH subprocess (own
+    JVM, cold page cache for Spark state but warm OS cache after pass 1)
+    and return the MEDIAN pass's stats, with every pass's crawl_sec
+    attached. Rationale (VERDICT r3): this sandbox VM's throughput
+    drifts ±25%-3× between minutes, so a single-pass headline number is
+    unadjudicable round over round; the median of independent passes is
+    the same estimator tools/bench_scaling.py uses for the scaling
+    evidence. Determinism is asserted across passes (identical fetch and
+    round counts) — the passes differ only in wall clock."""
+    import subprocess
+
+    env = dict(os.environ)
+    env["PEGASUS_BENCH_MODE"] = "crawl"
+    env["PEGASUS_BENCH_PASSES"] = "1"
+    passes = []
+    for i in range(n_passes):
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            capture_output=True, text=True, env=env,
+        )
+        lines = [ln for ln in p.stdout.splitlines() if ln.startswith("{")]
+        if not lines:
+            raise RuntimeError(
+                f"bench crawl pass {i} produced no JSON line "
+                f"(rc={p.returncode}):\n{p.stderr[-2000:]}")
+        passes.append(json.loads(lines[-1]))
+    assert len({(s["urls_fetched"], s["rounds_to_exhaustion"]) for s in passes}) == 1, \
+        "crawl determinism broke across bench passes"
+    order = sorted(range(n_passes), key=lambda i: passes[i]["crawl_sec"])
+    med = passes[order[n_passes // 2]]
+    # strip the subprocess's envelope keys: the caller re-wraps the crawl
+    # stats with its own metric/value/queries (crawl + query suite)
+    for k in ("metric", "value", "unit", "queries", "sf", "cpus", "bench_pages"):
+        med.pop(k, None)
+    med["crawl_sec_passes"] = [s["crawl_sec"] for s in passes]
+    return med
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -312,6 +365,21 @@ def main():
 
     profile = os.environ.get("PEGASUS_BENCH_PROFILE", "default")
     mode = os.environ.get("PEGASUS_BENCH_MODE", "all")
+    n_passes = int(os.environ.get("PEGASUS_BENCH_PASSES", "3" if mode == "all" else "1"))
+
+    if mode == "all" and n_passes > 1:
+        crawl_stats = _crawl_multi_pass(n_passes)
+        spark = make_spark(cpus)
+        spark.sparkContext.setLogLevel("ERROR")
+        qtimes = query_bench(spark, sf_dir)
+        total = round(crawl_stats["crawl_sec"] + sum(qtimes.values()), 2)
+        print(json.dumps({
+            "metric": "crawl_to_exhaustion_plus_query_suite_sec",
+            "value": total, "unit": "sec", "queries": qtimes,
+            "sf": sf, "cpus": cpus, "bench_pages": n_pages,
+            **crawl_stats,
+        }))
+        return
 
     spark = make_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")

@@ -59,6 +59,14 @@ class CrawlConfig:
     # touched (pegasus's actual behavior), honoring `user_agent` group
     # selection
     robots_mode: str = "preparsed"
+    # redirect chains are followed inline within the fetch (clj-http's
+    # default inside pegasus's fetcher) up to this many hops; longer
+    # chains record fetch_status='redirect_cap'
+    max_redirect_hops: int = 4
+    # transiently-failing URLs (HTTP-503 analogue) are retried on later
+    # rounds up to this many total attempts; the last attempt records a
+    # 'transient_exhausted' corpus row (URL permanently visited)
+    max_fetch_attempts: int = 3
     # cache the page store across rounds (good for many-round BFS crawls;
     # turn off for few-round drains of stores larger than executor memory)
     cache_pages: bool = True
@@ -79,6 +87,17 @@ class CrawlConfig:
         "parquet.block.size": str(16 * 1024 * 1024),
         "parquet.enable.dictionary": "false",
     })
+    # bucket-partitioned layouts (Iceberg bucket(B, url_hash) transform
+    # analogue — see tables.ManifestCatalog.create / fetch.bucketize_store):
+    # pages_bucketed_dir points at a bucketize_store() relayout of the
+    # page store; store_bucket_count enables the SPJ-shaped bucket-wise
+    # fetch join for giant rounds past fetch_broadcast_max (must equal
+    # the relayout's B). table_bucket_count>0 creates frontier+corpus
+    # bucket-partitioned and runs the pending anti-join bucket-wise —
+    # the zero-data-shuffle dedup shape for 10^10-row frontiers.
+    pages_bucketed_dir: Optional[str] = None
+    store_bucket_count: int = 0
+    table_bucket_count: int = 0
     # content-type gate (pegasus's defaults drop non-HTML bodies before
     # link extraction): pages whose ``fmt`` is not in this set are still
     # fetched + recorded as visited, but contribute no out-links. None =

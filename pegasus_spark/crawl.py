@@ -33,15 +33,18 @@ from .round import (
     FRONTIER_DDL,
     HOSTS_DDL,
     METRICS_DDL,
+    REDIRECTS_DDL,
+    RETRIES_DDL,
     RoundContext,
     inject_seeds,
     run_round,
 )
 from .seen import SeenSet
 from .tables import CheckpointStore, ManifestCatalog
-from .fetch import load_pages, store_has_lossy
+from .fetch import load_pages, store_has_flaky, store_has_lossy, store_has_redirects
 
-TABLES = ["frontier", "corpus", "hosts", "metrics", "seen", "bloom", "robots"]
+TABLES = ["frontier", "corpus", "hosts", "metrics", "seen", "bloom", "robots",
+          "redirects", "retries"]
 
 
 @dataclass
@@ -53,11 +56,31 @@ class CrawlResult:
 
 
 def _make_ctx(spark: SparkSession, cfg: CrawlConfig) -> tuple[RoundContext, CheckpointStore]:
+    # Round plans reference every manifest commit dir (table reads union
+    # per-commit snapshots), so the plan DESCRIPTION Spark renders for
+    # the UI/event listeners on each action grows with commit count. At
+    # Spark's near-unbounded default maxPlanStringLength (2^31) that
+    # string alone OOMed a 1 GB driver on a 10-round toy crawl; at the
+    # 10^4-round design point it would OOM any driver. Cap it (runtime
+    # SQL conf) unless the user already chose a bound.
+    try:
+        if int(spark.conf.get("spark.sql.maxPlanStringLength")) > 10_000_000:
+            spark.conf.set("spark.sql.maxPlanStringLength", "200000")
+    except Exception:
+        pass
     cat = ManifestCatalog(spark, cfg.job_dir)
-    cat.create("frontier", FRONTIER_DDL)
-    cat.create("corpus", CORPUS_DDL)
+    # Iceberg bucket(B, url_hash) partition-transform analogue on the two
+    # data-sized tables: every append lands directory-per-bucket, and the
+    # pending anti-join runs bucket-wise (round.py) — create() is
+    # idempotent, so on resume the spec comes from the existing manifest
+    tb = (("url_hash", cfg.table_bucket_count)
+          if cfg.table_bucket_count > 0 else None)
+    cat.create("frontier", FRONTIER_DDL, bucket_by=tb)
+    cat.create("corpus", CORPUS_DDL, bucket_by=tb)
     cat.create("hosts", HOSTS_DDL)
     cat.create("metrics", METRICS_DDL)
+    cat.create("redirects", REDIRECTS_DDL)
+    cat.create("retries", RETRIES_DDL)
     seen = SeenSet(
         cat,
         n_parts=cfg.seen_parts,
@@ -80,7 +103,7 @@ def _make_ctx(spark: SparkSession, cfg: CrawlConfig) -> tuple[RoundContext, Chec
         crawl_delays = load_crawl_delays(spark, robots_path)
     else:
         raise ValueError(f"unknown robots_mode {cfg.robots_mode!r}")
-    pages = load_pages(spark, cfg.web_dir)
+    pages = load_pages(spark, cfg.web_dir, cfg.pages_bucketed_dir)
     if cfg.cache_pages:
         pages = pages.persist()
     ctx = RoundContext(
@@ -95,6 +118,10 @@ def _make_ctx(spark: SparkSession, cfg: CrawlConfig) -> tuple[RoundContext, Chec
     # one fmt-column probe: an all-lossless store lets every fetch prune
     # the raw pixels_ref column (validation via stored checksums only)
     ctx.has_lossy = store_has_lossy(ctx.pages)
+    # 3xx / transient-failure probes: all-200 never-failing stores skip
+    # the redirect and retry machinery entirely (round plan unchanged)
+    ctx.has_redirects = store_has_redirects(ctx.pages)
+    ctx.has_flaky = store_has_flaky(ctx.pages)
     for stage in (cfg.extractor, cfg.pre_enqueue, cfg.writer):
         if stage is not None:
             stage.setup(spark, cfg)

