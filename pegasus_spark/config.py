@@ -98,6 +98,15 @@ class CrawlConfig:
     pages_bucketed_dir: Optional[str] = None
     store_bucket_count: int = 0
     table_bucket_count: int = 0
+    # incremental catalog compaction (Iceberg rewrite_data_files
+    # analogue): every compact_every rounds, the append-heavy tables are
+    # bin-packed so their snapshots reference ≤ compact_target_dirs
+    # commit dirs. Append-only tables otherwise gain one dir per round —
+    # at the 10^4-round design point that is 10^4 dirs listed per read,
+    # forever. Merging only the smallest dirs keeps each row rewritten
+    # O(log rounds) times (LSM-style). 0 = off.
+    compact_every: int = 32
+    compact_target_dirs: int = 8
     # content-type gate (pegasus's defaults drop non-HTML bodies before
     # link extraction): pages whose ``fmt`` is not in this set are still
     # fetched + recorded as visited, but contribute no out-links. None =

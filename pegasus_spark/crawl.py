@@ -217,6 +217,17 @@ def crawl(spark: SparkSession, cfg: CrawlConfig, resume: bool = False) -> CrawlR
         r += 1
         if stopped:
             break
+        if cfg.compact_every and r % cfg.compact_every == 0:
+            # between rounds, after the checkpoint: compaction commits
+            # are ordinary versions (a crash mid-compaction resumes from
+            # the pre-compaction snapshot; merged dirs stay on disk for
+            # time travel). Row sets are unchanged, so fetch order,
+            # parity and golden traces are unaffected.
+            # seen appends only in overflow mode and robots only in
+            # discover mode; compact() is a no-op at ≤ target dirs
+            for t in ("frontier", "corpus", "redirects", "retries",
+                      "metrics", "seen", "robots"):
+                cat.compact(t, cfg.compact_target_dirs)
 
     for stage in (cfg.extractor, cfg.pre_enqueue, cfg.writer):
         if stage is not None:

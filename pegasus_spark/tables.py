@@ -270,6 +270,62 @@ class ManifestCatalog:
         d = self._write_local(name, table)
         return self._commit(name, self._next_manifest(m, [d]))
 
+    # ---- compaction (Iceberg rewrite_data_files analogue) ----------
+    def compact(self, name: str, target_dirs: int = 8) -> int:
+        """Bin-packing compaction: merge the SMALLEST commit dirs so the
+        current snapshot references at most ``target_dirs`` dirs.
+
+        Append-only tables gain one dir per commit; every read lists all
+        of them and bucketed reads probe B leaf dirs per commit — at the
+        10^4-round design point that is 10^4 dirs per round, forever.
+        Iceberg bounds this with incremental file compaction; this is
+        the manifest-catalog analogue. Incremental on purpose: only the
+        smallest dirs (typically many tiny per-round appends) are
+        rewritten — cost is bounded by what is merged, NOT O(table) —
+        and large already-compacted dirs are left in place.
+
+        Rows are preserved exactly (tables are read as sets everywhere;
+        callers that need an order sort explicitly). Old versions keep
+        referencing the merged dirs, so time travel across the
+        compaction boundary still works; nothing is deleted. Returns the
+        new version (or the current one if no compaction was needed).
+        """
+        m = self._manifest(name)
+        dirs = m["dirs"]
+        if len(dirs) <= target_dirs:
+            return m["version"]
+
+        def _du(d: str) -> int:
+            total = 0
+            for root, _dirs, files in os.walk(d):
+                for f in files:
+                    total += os.path.getsize(os.path.join(root, f))
+            return total
+
+        by_size = sorted(dirs, key=_du)
+        # merge enough of the smallest dirs that (kept + merged-result)
+        # lands exactly at target_dirs
+        merge = by_size[: len(dirs) - target_dirs + 1]
+        keep = [d for d in dirs if d not in set(merge)]
+        spec = m.get("bucket_by")
+        if spec:
+            # leaf-dir read per bucket keeps this a flat multi-path scan;
+            # _write_data re-derives _bucket from the key column, which
+            # is pmod-identical to the original placement
+            parts = []
+            for d in merge:
+                sub = self.spark.read.schema(
+                    m["schema_ddl"] + ", _bucket int").parquet(d)
+                parts.append(sub.drop("_bucket"))
+        else:
+            parts = [self.spark.read.schema(m["schema_ddl"]).parquet(d)
+                     for d in merge]
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        newdir = self._write_data(name, df)
+        return self._commit(name, self._next_manifest(m, keep + [newdir]))
+
     # ---- snapshots (resume) ----------------------------------------
     def snapshot(self, names: list[str]) -> dict[str, int]:
         return {n: self.current_version(n) for n in names}
