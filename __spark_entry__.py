@@ -301,11 +301,19 @@ def q_embedding_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     step (bit_count) has no float-comparison ambiguity cross-engine."""
     from pegasus_spark.functions.simops import (
         hamming_band_pairs_2x32,
-        signed_projection_sig64,
+        signed_projection_sig64_udf,
     )
 
     e = _t(spark, sf_dir, "embeddings")
-    sigs = signed_projection_sig64(e, _ANN_DIM).localCheckpoint(eager=True)
+    # the numpy-int64-matmul UDF is the 100 TB form AND bit-identical to
+    # the JVM posexplode twin (exact integer arithmetic; equality pinned
+    # by test_sig64_udf_matches_jvm_form) — the DuckDB oracle value-checks
+    # it end to end. The JVM twin cost ~5 s here (dim×64 row inflation
+    # through two shuffles); this is one linear Arrow pass.
+    sigs = signed_projection_sig64_udf(e, _ANN_DIM).localCheckpoint(eager=True)
+    # max_hamming=15 needs ≥16 bands (pigeonhole) → 4-bit bands; a
+    # tighter 8-band/8-bit variant would be cheaper but provably empty on
+    # this data (min pairwise sig64 distance is 10-13 at sf0.01/0.1)
     return hamming_band_pairs_2x32(
         sigs, "vec_id", "sig_lo", "sig_hi", max_hamming=15, band_bits=4
     )

@@ -310,6 +310,12 @@ def query_bench(spark, sf_dir: str) -> dict:
     import __spark_entry__ as E
 
     qs = E.queries()
+    # one throw-away pass of the first query before the clock starts:
+    # when the suite runs on a fresh JVM (the multi-pass headline moved
+    # the crawl into subprocesses), the first timed action otherwise
+    # absorbs whole-stage-codegen JIT + Python-worker spin-up (~5-6 s
+    # measured in BENCH_r04 on an UNCHANGED plan — VERDICT r4 wrong #1)
+    qs[QUERY_NAMES[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
     times = {}
     for name in QUERY_NAMES:
         t0 = time.monotonic()

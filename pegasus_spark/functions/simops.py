@@ -173,6 +173,38 @@ def signed_projection_sig64(df: DataFrame, dim: int,
     )
 
 
+def signed_projection_sig64_udf(df: DataFrame, dim: int,
+                                vec_col: str = "embedding",
+                                id_col: str = "vec_id") -> DataFrame:
+    """The 100 TB form of ``signed_projection_sig64``: one Arrow-batched
+    numpy int64 matmul per batch — no posexplode, no shuffle, linear scan.
+
+    Bit-identical to the JVM/SQL twin BY CONSTRUCTION, not approximately:
+    q = round(v·10⁶) is an exact int64, the projection Σ s_ij·q_i is int64
+    addition (commutative/associative, no rounding), and |Σ| ≤ dim·10⁶ —
+    12 orders of magnitude inside int64. So the scale path and the
+    oracle-checkable twin agree on every bit (pinned by
+    test_sig64_udf_matches_jvm_form); use THIS one in hot paths."""
+    signs = np.array(rademacher_signs(dim, 64), dtype=np.int64)  # (64, dim)
+    weights_lo = (1 << np.arange(32, dtype=np.uint64)).astype(np.int64)
+
+    ret = "sig_lo long, sig_hi long"
+
+    @F.pandas_udf(ret)
+    def sig64(emb: pd.Series) -> pd.DataFrame:
+        m = np.vstack(emb.to_numpy()).astype(np.float64)  # (batch, dim)
+        q = np.round(m * 1e6).astype(np.int64)
+        bits = (q @ signs.T) > 0  # (batch, 64) — exact int64 matmul
+        return pd.DataFrame({
+            "sig_lo": (bits[:, :32] @ weights_lo).astype(np.int64),
+            "sig_hi": (bits[:, 32:] @ weights_lo).astype(np.int64),
+        })
+
+    return df.select(id_col, sig64(F.col(vec_col)).alias("_s")).select(
+        id_col, F.col("_s.sig_lo").alias("sig_lo"), F.col("_s.sig_hi").alias("sig_hi")
+    )
+
+
 def lsh_bucket_topk(df: DataFrame, query_vec: list[float], k: int = 10,
                     vec_col: str = "embedding", id_col: str = "vec_id",
                     n_planes: int = 8, seed: int = 42) -> DataFrame:

@@ -42,10 +42,18 @@ rn−1 < W/delay), so:
 
 Pruned rows re-enter the output with ``selected=false`` and NULL
 rn/fetch_vt (they are beyond the round horizon; their exact slot is not
-computed). Contract: ``rn``/``fetch_vt`` are exact for every selectable
-row and every survivor; NULL marks a row provably past the horizon.
-``delay_ms = 0`` (no politeness floor) disables pruning for that host —
-every row is then selectable and goes through the exact window.
+computed). Contract: ``rn``/``fetch_vt`` are exact for every SELECTED
+row and for every survivor whose rank ≤ cap (= ⌈W/delay⌉+1, the bound
+that decides selection) — so the selected set, the fetch_vt schedule and
+the host-clock advancement are bit-identical to the one-stage window.
+A survivor ranked PAST the cap (possible when rows of its host were
+pruned from other salt buckets below it) carries a LOWER-BOUND rn/
+fetch_vt, not the exact slot — such rows are provably non-selectable
+either way (rank > cap ⇒ fetch_vt ≥ round_end), so only their
+``selected=false`` marking is contractual; NULL likewise marks a row
+provably past the horizon. ``delay_ms = 0`` (no politeness floor)
+disables pruning for that host — every row is then selectable and goes
+through the exact window.
 """
 
 from __future__ import annotations

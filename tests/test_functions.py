@@ -120,6 +120,25 @@ def test_embedding_near_dup_lsh_blocked(spark):
     assert all(buckets[a] == buckets[bb] for a, bb in pairs)
 
 
+def test_sig64_udf_matches_jvm_form(spark):
+    """The numpy-matmul sig64 UDF (the 100 TB hot path) is bit-identical
+    to the posexplode/groupBy JVM twin (the oracle-checkable form): both
+    compute the same exact-int64 projection sums, so every signature bit
+    must agree — this is what lets the entry query use the fast form
+    while the DuckDB oracle checks the slow one's algebra."""
+    rng = np.random.default_rng(17)
+    vecs = rng.standard_normal((40, 16)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    jvm = {r["vec_id"]: (r["sig_lo"], r["sig_hi"]) for r in
+           simops.signed_projection_sig64(df, dim=16).collect()}
+    udf = {r["vec_id"]: (r["sig_lo"], r["sig_hi"]) for r in
+           simops.signed_projection_sig64_udf(df, dim=16).collect()}
+    assert jvm == udf
+
+
 def test_simhash_md5_matches_reference(spark, docs):
     """Pin the md5-twin signature semantics with a pure-Python reference
     (same spec: two 32-bit md5 halves, frequency-weighted sign-sums)."""
