@@ -76,7 +76,11 @@ def _make_ctx(spark: SparkSession, cfg: CrawlConfig) -> tuple[RoundContext, Chec
     tb = (("url_hash", cfg.table_bucket_count)
           if cfg.table_bucket_count > 0 else None)
     cat.create("frontier", FRONTIER_DDL, bucket_by=tb)
-    cat.create("corpus", CORPUS_DDL, bucket_by=tb)
+    # the blob-writer shape is a TABLE property: compaction rewrites and
+    # any future writer inherit it from the manifest (create is
+    # idempotent — on resume the property comes from the existing one)
+    cat.create("corpus", CORPUS_DDL, bucket_by=tb,
+               write_options=cfg.corpus_write_options)
     cat.create("hosts", HOSTS_DDL)
     cat.create("metrics", METRICS_DDL)
     cat.create("redirects", REDIRECTS_DDL)

@@ -58,10 +58,27 @@ def bucketize_store(spark: SparkSession, web_dir: str, n_buckets: int) -> str:
     Iceberg table — layout is a property of the data at rest, not of any
     one crawl job — and this produces the sandbox equivalent so the
     giant-round fetch join can run bucket-wise (``bucketed_store_join``)
-    instead of shuffling payload bytes."""
+    instead of shuffling payload bytes.
+
+    The cache key includes a fingerprint of the SOURCE files (paths,
+    sizes, mtimes): a pages.parquet regenerated in the same web_dir gets
+    a fresh relayout instead of silently reusing the stale one (ADVICE
+    r4 #3)."""
+    import hashlib
     import os
 
-    out = f"{web_dir}/pages_bucketed_{n_buckets}"
+    src = f"{web_dir}/pages.parquet"
+    h = hashlib.sha256()
+    if os.path.isdir(src):
+        for root, _dirs, files in sorted(os.walk(src)):
+            for f in sorted(files):
+                st = os.stat(os.path.join(root, f))
+                h.update(f"{os.path.relpath(os.path.join(root, f), src)}|"
+                         f"{st.st_size}|{st.st_mtime_ns}".encode())
+    else:
+        st = os.stat(src)
+        h.update(f"{st.st_size}|{st.st_mtime_ns}".encode())
+    out = f"{web_dir}/pages_bucketed_{n_buckets}_{h.hexdigest()[:12]}"
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         (
             spark.read.parquet(f"{web_dir}/pages.parquet")
@@ -98,6 +115,10 @@ def bucketed_store_join(pages: DataFrame, loadable: DataFrame,
     ``_final_hash`` key.
     """
     inner_parts, missing_parts = [], []
+    # NULL join keys (junk-Location dangling rows) belong to no bucket:
+    # route them straight to the missing side (same outcome as the
+    # non-bucketed anti-join, where a NULL key never matches)
+    missing_parts.append(loadable.where(F.col("_final_hash").isNull()))
     for b in range(n_buckets):
         sel_b = loadable.where(
             F.pmod(F.col("_final_hash"), F.lit(n_buckets)) == b)
@@ -205,7 +226,7 @@ NOLOAD_STATUSES = ("redirect_loop", "redirect_cap", "transient_exhausted")
 
 
 def resolve_redirects(selected: DataFrame, pages: DataFrame, canon_expr,
-                      max_hops: int = 4) -> DataFrame:
+                      max_hops: int = 4) -> DataFrame | None:
     """Resolve 3xx chains for selected rows whose page is a redirect
     (pegasus's fetcher follows redirects inside the fetch itself —
     clj-http's default — so the chain is followed inline, not re-queued
@@ -215,18 +236,31 @@ def resolve_redirects(selected: DataFrame, pages: DataFrame, canon_expr,
     final_url, fetch_status, chain) where ``chain`` lists every url_hash
     the chain touched (source first; every touched URL becomes visited)
     and fetch_status ∈ redirect | redirect_dangling | redirect_loop |
-    redirect_cap. ``canon_expr(base, href)`` canonicalizes each Location
-    target against the redirecting URL.
+    redirect_cap — or **None** when this round's selection contains no
+    redirect source at all (the caller then runs the exact plain-round
+    plan). ``canon_expr(base, href)`` canonicalizes each Location target
+    against the redirecting URL; an UNCANONICALIZABLE Location (junk
+    href → canon NULL) terminates the chain as ``redirect_dangling``
+    with NULL final_hash/final_url — the junk target is never hashed,
+    requested, or entered into the visited set (tests/oracle.py
+    resolve_chain mirrors this).
 
     Physical shape: each hop is ONE column-pruned scan of the store's
     (url_hash, redirect_to) joined with the (tiny, selection-bounded)
     live-chain set broadcast into it — the sandbox stand-in for batched
     HTTP GETs, same as the main fetch join; at 10^10 the store is
-    bucketed on url_hash so these are point-lookup scans.
+    bucketed on url_hash so these are point-lookup scans. The live set
+    is materialized per hop (localCheckpoint of a selection-bounded
+    skinny frame) and the loop SHORT-CIRCUITS the moment it drains —
+    typical rounds carry 0-2 short chains, so most rounds pay zero or
+    one hop's store scan instead of 3·max_hops union branches
+    (VERDICT r4 wrong #2: the fixed per-round cost was ~1/3 of the
+    parity-suite wall).
     """
     pr = pages.select(
         F.col("url_hash").alias("_t_hash"), F.col("redirect_to").alias("_t_redir")
     )
+    hash_or_null = F.when(F.col("cur_url").isNotNull(), F.xxhash64("cur_url"))
     cur = (
         selected.select("url_hash", "url")
         .join(pr, F.col("url_hash") == F.col("_t_hash"), "inner")
@@ -236,11 +270,19 @@ def resolve_redirects(selected: DataFrame, pages: DataFrame, canon_expr,
             F.array("url_hash").alias("chain"),
             canon_expr(F.col("url"), F.col("_t_redir")).alias("cur_url"),
         )
-        .withColumn("cur_hash", F.xxhash64("cur_url"))
+        .withColumn("cur_hash", hash_or_null)
+        .localCheckpoint(eager=True)
     )
+    if not cur.take(1):
+        return None
     out_cols = ["src_hash", "chain", "cur_url", "cur_hash", "fetch_status"]
     done: list[DataFrame] = []
     for _hop in range(max_hops):
+        # junk Location: canon produced NULL → dangling, chain unchanged
+        done.append(cur.where(F.col("cur_hash").isNull())
+                    .withColumn("fetch_status", F.lit("redirect_dangling"))
+                    .select(*out_cols))
+        cur = cur.where(F.col("cur_hash").isNotNull())
         # loop check BEFORE following: next target already in this chain
         looped = F.array_contains("chain", F.col("cur_hash"))
         done.append(cur.where(looped).withColumn("fetch_status", F.lit("redirect_loop"))
@@ -264,10 +306,20 @@ def resolve_redirects(selected: DataFrame, pages: DataFrame, canon_expr,
             j.where(F.col("_t_redir").isNotNull())
             .select("src_hash", touched.alias("chain"),
                     canon_expr(F.col("cur_url"), F.col("_t_redir")).alias("cur_url"))
-            .withColumn("cur_hash", F.xxhash64("cur_url"))
+            .withColumn("cur_hash", hash_or_null)
+            .localCheckpoint(eager=True)
         )
-    # hop budget exhausted: chain recorded, next target never requested
-    done.append(cur.withColumn("fetch_status", F.lit("redirect_cap")).select(*out_cols))
+        if not cur.take(1):  # every chain terminated: skip remaining hops
+            break
+    else:
+        # hop budget exhausted with live chains: the next target is never
+        # requested — junk Locations from the final hop are still dangling
+        done.append(cur.where(F.col("cur_hash").isNull())
+                    .withColumn("fetch_status", F.lit("redirect_dangling"))
+                    .select(*out_cols))
+        done.append(cur.where(F.col("cur_hash").isNotNull())
+                    .withColumn("fetch_status", F.lit("redirect_cap"))
+                    .select(*out_cols))
     mapping = done[0]
     for d in done[1:]:
         mapping = mapping.unionByName(d)
@@ -280,24 +332,52 @@ def resolve_redirects(selected: DataFrame, pages: DataFrame, canon_expr,
 
 
 def split_flaky(selected: DataFrame, pages: DataFrame, retries: DataFrame,
-                current_round: int, max_attempts: int) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """Transient-failure split: a page with ``flaky_until_round > r``
-    fails this round's fetch (a deterministic 503 analogue). Returns
-    (fetchable, retry_rows, exhausted):
+                current_round: int, max_attempts: int,
+                mapping: DataFrame | None = None) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Transient-failure split: a CONTENT fetch whose page has
+    ``flaky_until_round > r`` fails this round (a deterministic 503
+    analogue). ``flaky_until_round`` models the *content* fetch only:
+    3xx responses are always served (the fixture keeps redirect pages
+    reliable), so with ``mapping`` (redirect resolutions) present the
+    gate keys on the CONTENT page — the chain's final target for
+    followed ('redirect') chains, the page itself for plain fetches.
+    A chain that terminates at a transiently-failing page therefore
+    fails the WHOLE source fetch transiently (real-fetch fidelity:
+    clj-http following a 3xx into a 503 surfaces the failure — ADVICE
+    r4 #1); chains that never reach content (loop/cap/dangling) keep
+    their terminal status and never transiently fail.
+
+    Returns (fetchable, retry_rows, exhausted):
 
     - fetchable: rows whose fetch proceeds normally;
     - retry_rows: (url_hash, round) to append to the retries table — the
       URL writes NO corpus row, so it stays pending (frontier ⟕̸ visited)
       and politeness re-schedules it next round; its slot this round was
-      still consumed (host clocks advance over the full selection);
+      still consumed (host clocks advance over the full selection). A
+      retried redirect SOURCE re-walks its chain on the retry attempt —
+      its chain members do NOT enter the visited set this round;
     - exhausted: rows on their max_attempts-th failed attempt — recorded
       as a 'transient_exhausted' corpus row (permanently visited, no
-      payload), pegasus's treat-failing-URL-as-consumed behavior.
+      payload, no final_url; chain members stay unvisited — the content
+      was never retrieved), pegasus's treat-failing-URL-as-consumed
+      behavior.
     """
-    fl = pages.select("url_hash", "flaky_until_round")
+    fl = pages.select(F.col("url_hash").alias("_c_hash"), "flaky_until_round")
+    if mapping is not None:
+        m = mapping.select(
+            "url_hash",
+            F.col("final_hash").alias("_f_hash"),
+            F.col("fetch_status").alias("_m_status"),
+        )
+        content = F.when(F.col("_m_status") == "redirect", F.col("_f_hash")).when(
+            F.col("_m_status").isNull(), F.col("url_hash"))
+        s0 = (selected.join(F.broadcast(m), "url_hash", "left")
+              .withColumn("_c_hash", content).drop("_f_hash", "_m_status"))
+    else:
+        s0 = selected.withColumn("_c_hash", F.col("url_hash"))
     att = retries.groupBy("url_hash").agg(F.count("*").alias("_attempts"))
     s = (
-        selected.join(fl, "url_hash", "left")
+        s0.join(fl, "_c_hash", "left")
         .join(att, "url_hash", "left")
         .withColumn(
             "_fail",
@@ -305,7 +385,7 @@ def split_flaky(selected: DataFrame, pages: DataFrame, retries: DataFrame,
         )
         .withColumn("_attempts", F.coalesce(F.col("_attempts"), F.lit(0)))
     )
-    aux = ["flaky_until_round", "_fail", "_attempts"]
+    aux = ["_c_hash", "flaky_until_round", "_fail", "_attempts"]
     fetchable = s.where(~F.col("_fail")).drop(*aux)
     failing = s.where(F.col("_fail"))
     retry_rows = failing.where(F.col("_attempts") + 1 < max_attempts).select(
@@ -355,7 +435,17 @@ def fetch_and_validate(
         )
         salted = (
             salted.join(F.broadcast(m), "url_hash", "left")
-            .withColumn("_final_hash", F.coalesce("_final_hash", "url_hash"))
+            # rows WITHOUT a mapping entry load their own page; mapped rows
+            # keep the mapping's final_hash AS IS — a junk-Location
+            # dangling row carries NULL final_hash on purpose (NULL join
+            # keys match nothing → the row falls through to the missing
+            # branch with its redirect_dangling status, payload all-NULL)
+            .withColumn(
+                "_final_hash",
+                F.when(F.col("_status0").isNull(),
+                       F.coalesce("_final_hash", "url_hash"))
+                .otherwise(F.col("_final_hash")),
+            )
         )
     else:
         salted = (

@@ -65,6 +65,12 @@ class WebParams:
     # crawler must retry (bounded) and succeed once the page recovers.
     flaky_frac: float = 0.0
     flaky_until: int = 2
+    # plant ONE redirect whose Location is a non-crawlable href
+    # (non-hierarchical scheme → canonicalize → NULL): the
+    # junk-Location → redirect_dangling contract (ADVICE r4 #5).
+    # Applied inside the redirect post-pass, so =False fixtures stay
+    # byte-identical.
+    junk_redirect: bool = False
     extra: dict = field(default_factory=dict, compare=False)
 
     def tag(self) -> str:
@@ -74,6 +80,7 @@ class WebParams:
             f"_d{self.disallow_host_frac}_c{self.crawl_delay_host_frac}_sd{self.n_seeds}"
             + (f"_o{self.opaque_frac}" if self.opaque_frac else "")
             + (f"_r{self.redirect_frac}" if self.redirect_frac else "")
+            + ("_jr" if self.junk_redirect else "")
             + (f"_fl{self.flaky_frac}-{self.flaky_until}" if self.flaky_frac else "")
         )
 
@@ -212,6 +219,11 @@ def generate_web(p: WebParams) -> dict[str, pd.DataFrame]:
             pages.at[i, "out_links"] = []  # a 3xx response body carries no links
             pages.at[i, "pixels_ref"] = b""
             pages.at[i, "ref_md5"] = ""
+        if p.junk_redirect and ridx:
+            # a Location a crawler cannot follow (non-hierarchical
+            # scheme): canonicalize → NULL → redirect_dangling with no
+            # final_hash/final_url, junk target never hashed or visited
+            pages.at[ridx[-1], "redirect_to"] = "mailto:junk@invalid"
 
     if p.flaky_frac > 0:
         # transient-failure post-pass (dedicated rng): fetches before

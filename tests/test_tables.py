@@ -100,3 +100,45 @@ def test_append_writer_options_reach_parquet(spark, cat, tmp_path):
     for g in range(md.num_row_groups):
         encs = md.row_group(g).column(1).encodings
         assert not any("DICTIONARY" in e for e in encs), encs
+
+
+def test_table_write_options_survive_compaction(spark, cat, tmp_path):
+    """write_options as a TABLE property (create(write_options=...)):
+    every writer — plain appends AND compact()'s rewrites — must honor
+    the blob shape, so compacted corpus dirs keep bounded row groups and
+    no dictionary encoding (ADVICE r4 #2: compact() previously reverted
+    them to the 128 MB/dictionary default)."""
+    import glob
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from pegasus_spark.config import CrawlConfig
+
+    opts = CrawlConfig(web_dir="", job_dir="").corpus_write_options
+    cat.create("blobs2", "id long, blob binary", write_options=opts)
+    rng = np.random.default_rng(7)
+    for c in range(4):  # 4 commits -> compaction target 1 merges all
+        rows = [(c * 10_000 + i,
+                 rng.integers(0, 256, 4096, dtype=np.uint8).tobytes())
+                for i in range(6_000)]
+        # NO per-call options: the table property must apply by itself
+        cat.append("blobs2", spark.createDataFrame(
+            rows, "id long, blob binary").coalesce(1))
+    v = cat.compact("blobs2", target_dirs=1)
+    m = cat._manifest("blobs2", v)
+    assert len(m["dirs"]) == 1
+    files = glob.glob(m["dirs"][0] + "/*.parquet")
+    assert files
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            # dictionary OFF + bounded groups: both come from the table
+            # property (the 128 MB/dictionary default would dictionary-
+            # encode the blob column and buffer up to 128 MB per group)
+            encs = rg.column(1).encodings
+            assert not any("DICTIONARY" in e for e in encs), encs
+            comp = sum(rg.column(c).total_compressed_size
+                       for c in range(rg.num_columns))
+            assert comp < 20 * 1024 * 1024, comp
