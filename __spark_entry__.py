@@ -295,6 +295,21 @@ def q_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "hamming")
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING — the step after pair generation a real dedup
+    pipeline needs: connected components over the simhash near-dup graph
+    (min-label propagation, graphops.connected_components), every doc
+    labelled with its component's min doc_id, singletons by themselves,
+    plus the keep/drop decision (is_canonical). Oracle: the same
+    fixpoint as a DuckDB recursive CTE over the identical pair SQL."""
+    from pegasus_spark.functions.graphops import dedup_clusters
+    from pegasus_spark.functions.simops import simhash_md5_near_dup_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = simhash_md5_near_dup_pairs(d, max_hamming=7, band_bits=8)
+    return dedup_clusters(d, pairs)
+
+
 def q_embedding_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """phash-style banded Hamming near-dup over the 64-plane projection
     signature of embeddings — integer-exact end to end, so the verify
@@ -421,6 +436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "simhash_signatures": q_simhash_signatures,
         "simhash_near_dup_pairs": q_simhash_near_dup_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "embedding_hamming_pairs": q_embedding_hamming_pairs,
         "phash_near_dup_pairs": q_phash_near_dup_pairs,
         "ann_lsh_bucket": q_ann_lsh_bucket,
@@ -630,6 +646,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup_lsh": _near_dup_lsh_oracle(),
         "simhash_signatures": _simhash_oracle(),
         "simhash_near_dup_pairs": _simhash_near_dup_oracle(),
+        "dedup_clusters": _dedup_clusters_oracle(),
         "embedding_hamming_pairs": _embedding_hamming_oracle(),
         "phash_near_dup_pairs": _phash_near_dup_oracle(),
     }
@@ -768,6 +785,38 @@ def _simhash_near_dup_oracle() -> str:
         _simhash_cte(), "sg", "doc_id", "sim_lo", "sim_hi",
         n_bands=8, band_bits=8, max_hamming=7, out_a="doc_a", out_b="doc_b",
     )
+
+
+def _dedup_clusters_oracle() -> str:
+    """Connected components over the simhash near-dup pair graph as a
+    recursive CTE: reach(node, root) is the transitive closure over the
+    bidirected edge set; MIN(root) per node is exactly the min-label
+    fixpoint graphops.connected_components converges to, so the cluster
+    ids match the Spark side value-for-value with no iteration-order
+    ambiguity. Docs in no pair are singleton clusters of themselves."""
+    pair_sql = _simhash_near_dup_oracle()
+    return f"""
+        WITH RECURSIVE pairs AS (
+          SELECT doc_a, doc_b FROM ({pair_sql})
+        ),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION
+          SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(node, root) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+        ),
+        comp AS (
+          SELECT node, MIN(root) AS cluster_id FROM reach GROUP BY node
+        )
+        SELECT d.doc_id,
+               COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+               (d.doc_id = COALESCE(c.cluster_id, d.doc_id)) AS is_canonical
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    """
 
 
 def _sig64_cte() -> str:

@@ -53,6 +53,11 @@ class CrawlResult:
     visited: int
     stop_reason: str  # "corpus_size" | "exhausted" | "max_rounds"
     round_stats: list = field(default_factory=list)
+    # wall seconds spent in between-round incremental compaction — table
+    # MAINTENANCE, not crawl critical path (on a real lakehouse this is a
+    # separate background job); surfaced so benchmarks can attribute the
+    # bucketed/compacted layout's cost precisely
+    compact_sec: float = 0.0
 
 
 def _make_ctx(spark: SparkSession, cfg: CrawlConfig) -> tuple[RoundContext, CheckpointStore]:
@@ -199,6 +204,7 @@ def crawl(spark: SparkSession, cfg: CrawlConfig, resume: bool = False) -> CrawlR
         ckpt.save(-1, {"versions": cat.snapshot(TABLES), "visited": 0, "stopped": False})
 
     stop_reason = "max_rounds"
+    compact_sec = 0.0
     r = start_round
     while r < cfg.max_rounds:
         st = run_round(ctx, r, visited)
@@ -229,12 +235,15 @@ def crawl(spark: SparkSession, cfg: CrawlConfig, resume: bool = False) -> CrawlR
             # parity and golden traces are unaffected.
             # seen appends only in overflow mode and robots only in
             # discover mode; compact() is a no-op at ≤ target dirs
+            _c0 = _time.monotonic()
             for t in ("frontier", "corpus", "redirects", "retries",
                       "metrics", "seen", "robots"):
                 cat.compact(t, cfg.compact_target_dirs)
+            compact_sec += _time.monotonic() - _c0
 
     for stage in (cfg.extractor, cfg.pre_enqueue, cfg.writer):
         if stage is not None:
             stage.teardown()
     return CrawlResult(rounds=r - start_round, visited=visited,
-                       stop_reason=stop_reason, round_stats=stats)
+                       stop_reason=stop_reason, round_stats=stats,
+                       compact_sec=round(compact_sec, 2))

@@ -17,8 +17,11 @@ own N→4N ceiling. A single VM's 4× core jump downclocks / contends in a
 way 4× more MACHINES does not, so BENCH/BASELINE.md reports raw
 efficiency AND efficiency normalized to the measured hardware ceiling.
 
-Usage: python tools/bench_scaling.py [n_pages] [runs] [mode] [N[,N...]]
+Usage: python tools/bench_scaling.py [n_pages] [runs] [mode] [N[,N...]] [tag]
   mode: crawl | decode   levels: N vs 4N pairs, default "8" → (8,32)
+  tag: optional suffix for the output file (e.g. "tmpfs" →
+  BENCH/scaling_crawl_tmpfs.json) so A/B isolation arms (shuffle+corpus
+  dirs on /dev/shm vs the virtio disk) don't clobber the disk record.
 """
 
 from __future__ import annotations
@@ -99,6 +102,8 @@ def main():
     print(json.dumps(summary, indent=2))
 
     suffix = "" if n_pages == 150_000 else f"_{n_pages // 1000}k"
+    if len(sys.argv) > 5:
+        suffix += f"_{sys.argv[5]}"
     out_path = os.path.join(REPO, "BENCH", f"scaling_{mode}{suffix}.json")
     with open(out_path, "w") as f:
         json.dump({"levels": {str(k): v for k, v in results.items()},
