@@ -107,7 +107,8 @@ def test_bucketed_crawl_equivalence(spark):
 
         def run(job, **kw):
             cfg = CrawlConfig(web_dir=f"{tmp}/web", job_dir=f"{tmp}/{job}",
-                              min_delay_ms=1000, seen_parts=4, host_buckets=8,
+                              min_delay_ms=1000, round_width_vt=24_000,
+                              seen_parts=4, host_buckets=8,
                               **kw)
             crawl(spark, cfg)
             cat = ManifestCatalog(spark, f"{tmp}/{job}")

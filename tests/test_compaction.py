@@ -85,9 +85,13 @@ def test_crawl_with_aggressive_compaction_is_identical(spark):
         write_web(web, f"{tmp}/web")
 
         def run(job, **kw):
+            # 3x-wide rounds (24000 vs the 8000 default at min_delay
+            # 1000): 15 rounds → 11, same BFS output — compaction still
+            # fires 5x at compact_every=2 (CI wall-clock trim)
             crawl(spark, CrawlConfig(
                 web_dir=f"{tmp}/web", job_dir=f"{tmp}/{job}",
-                min_delay_ms=1000, seen_parts=4, host_buckets=8, **kw))
+                min_delay_ms=1000, round_width_vt=24_000,
+                seen_parts=4, host_buckets=8, **kw))
             cat = ManifestCatalog(spark, f"{tmp}/{job}")
             corpus = sorted(map(tuple, cat.read("corpus").select(
                 "url_hash", "fetch_round", "fetch_vt", "valid",

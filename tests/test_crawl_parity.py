@@ -13,27 +13,43 @@ from pegasus_spark.tables import ManifestCatalog
 
 from oracle import simulate
 
+# Parity scenarios run with a 3x-widened politeness round (round_width_vt
+# 16000→48000): the BFS completes in ~30-50% fewer rounds while every
+# scenario-coverage hook (expect lambdas, retried>0, dropped_robots>0,
+# deferred>0 — re-swept via the oracle sim at 1x/2x/3x/4x/6x) stays
+# true. Per-round driver latency dominates the suite wall at 100-300-row
+# fixtures, so fewer-but-wider rounds is pure wall-clock with identical
+# semantic coverage. The golden-trace tests below deliberately do NOT
+# take these knobs — their literals stay pinned at the default width.
+_W3 = dict(round_width_vt=48_000)
+_W3_SIM = dict(round_width=48_000)
+
 SCENARIOS = {
     # FIXTURES.md §5 scenario matrix (sizes trimmed for CI wall-clock)
     "smoke": dict(params=WebParams(seed=42, n_pages=100, n_hosts=5, fanout=3.0, n_seeds=3),
-                  corpus_size=50),
+                  corpus_size=50, cfg_kw=dict(**_W3), sim_kw=dict(**_W3_SIM)),
     "exhaustion": dict(params=WebParams(seed=7, n_pages=300, n_hosts=20, fanout=2.0, n_seeds=5),
-                       corpus_size=None),
+                       corpus_size=None, cfg_kw=dict(**_W3), sim_kw=dict(**_W3_SIM)),
     "corpus-cap": dict(params=WebParams(seed=9, n_pages=400, n_hosts=10, fanout=4.0, n_seeds=3),
-                       corpus_size=120),
+                       corpus_size=120, cfg_kw=dict(**_W3), sim_kw=dict(**_W3_SIM)),
     "hot-host": dict(params=WebParams(seed=11, n_pages=300, n_hosts=8, zipf_s=2.5,
                                       fanout=3.0, n_seeds=4),
-                     corpus_size=100),
+                     corpus_size=100, cfg_kw=dict(**_W3), sim_kw=dict(**_W3_SIM)),
+    # seeds=8 (not 4): the disallow-heavy graph's crawlable diameter is
+    # seed-bound — 8 seeds + the wide round cut 17 rounds to 11 with
+    # dropped_robots still 67 (was 73)
     "robots-heavy": dict(params=WebParams(seed=13, n_pages=250, n_hosts=10,
-                                          disallow_host_frac=0.5, fanout=3.0, n_seeds=4),
-                         corpus_size=None),
+                                          disallow_host_frac=0.5, fanout=3.0, n_seeds=8),
+                         corpus_size=None, cfg_kw=dict(**_W3), sim_kw=dict(**_W3_SIM)),
     # content-type gate: ~30% opaque (fmt='bin', undecodable) payloads are
-    # fetched + visited but contribute no links (pegasus's non-HTML drop)
+    # fetched + visited but contribute no links (pegasus's non-HTML drop).
+    # fanout=4/seeds=8 shrink the graph diameter (19 rounds → 9) and
+    # RAISE the gate's coverage (75 opaque pages visited, was 63)
     "opaque-gate": dict(params=WebParams(seed=19, n_pages=250, n_hosts=10,
-                                         fanout=3.0, n_seeds=4, opaque_frac=0.3),
+                                         fanout=4.0, n_seeds=8, opaque_frac=0.3),
                         corpus_size=None,
-                        cfg_kw=dict(extract_fmts=("png", "qnt")),
-                        sim_kw=dict(extract_fmts=("png", "qnt"))),
+                        cfg_kw=dict(extract_fmts=("png", "qnt"), **_W3),
+                        sim_kw=dict(extract_fmts=("png", "qnt"), **_W3_SIM)),
     # 3xx semantics: ~25% redirect pages incl multi-hop chains, a planted
     # 2-cycle loop, a hop-cap chain AND one junk (uncanonicalizable)
     # Location; source + every chain member enter the visited set,
@@ -43,6 +59,7 @@ SCENARIOS = {
                                        fanout=3.0, n_seeds=4, redirect_frac=0.25,
                                        junk_redirect=True),
                       corpus_size=None,
+                      cfg_kw=dict(**_W3), sim_kw=dict(**_W3_SIM),
                       expect=lambda sim: (
                           {"redirect", "redirect_loop", "redirect_cap",
                            "redirect_dangling"} <= set(sim.status.values())
@@ -53,15 +70,15 @@ SCENARIOS = {
     "flaky": dict(params=WebParams(seed=29, n_pages=200, n_hosts=8,
                                    fanout=2.5, n_seeds=4,
                                    flaky_frac=0.2, flaky_until=2),
-                  corpus_size=None),
+                  corpus_size=None, cfg_kw=dict(**_W3), sim_kw=dict(**_W3_SIM)),
     # tight attempt budget: pages failing until round 4 with only 2
     # allowed attempts → 'transient_exhausted' corpus rows
     "flaky-exhaust": dict(params=WebParams(seed=31, n_pages=150, n_hosts=6,
                                            fanout=2.0, n_seeds=3,
                                            flaky_frac=0.3, flaky_until=4),
                           corpus_size=None,
-                          cfg_kw=dict(max_fetch_attempts=2),
-                          sim_kw=dict(max_fetch_attempts=2)),
+                          cfg_kw=dict(max_fetch_attempts=2, **_W3),
+                          sim_kw=dict(max_fetch_attempts=2, **_W3_SIM)),
     # redirects + flaky composed, incl. chains TERMINATING at
     # transiently-failing pages (retried, and — under the 2-attempt
     # budget — exhausted redirect sources) and a junk Location
@@ -70,8 +87,8 @@ SCENARIOS = {
                                             redirect_frac=0.25, flaky_frac=0.25,
                                             flaky_until=6, junk_redirect=True),
                            corpus_size=None,
-                           cfg_kw=dict(max_fetch_attempts=2),
-                           sim_kw=dict(max_fetch_attempts=2),
+                           cfg_kw=dict(max_fetch_attempts=2, **_W3),
+                           sim_kw=dict(max_fetch_attempts=2, **_W3_SIM),
                            expect=lambda sim: sim.flaky_redirects > 0
                            and "transient_exhausted" in set(sim.status.values())),
 }

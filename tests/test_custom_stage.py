@@ -133,7 +133,8 @@ def test_same_host_extractor_restricts_crawl(spark):
         stage = SameHostOnly()
         stage.set_hosts(seed_hosts)
         cfg = CrawlConfig(web_dir=f"{tmp}/web", job_dir=f"{tmp}/job",
-                          seen_parts=4, pre_enqueue=stage)
+                          seen_parts=4, pre_enqueue=stage,
+                          round_width_vt=48_000)
         res = crawl(spark, cfg)
         assert res.stop_reason == "exhausted"
         cat = ManifestCatalog(spark, f"{tmp}/job")

@@ -21,14 +21,14 @@ from pegasus_spark.config import CrawlConfig
 from pegasus_spark.crawl import crawl
 from pegasus_spark.fixtures import WebParams, generate_web, write_web
 
-# Measured on the round-4 engine: a 10-round exhaustion crawl of the
-# seed=7/120-page fixture submits 319 Spark jobs end to end (~32/round:
-# AQE materializes each shuffle stage as its own sub-job, so one logical
-# action fans into several job ids; setup probes + final stop check
-# included). The ~10% slack absorbs AQE plan wobble; a real structural
-# regression (one extra count()/collect() per round) adds >=10 logical
-# actions ≈ 20-30 AQE jobs and trips the bound.
-MAX_JOBS_TOTAL = 350
+# Measured on the round-5 engine: a 9-round exhaustion crawl (seed=7/
+# 120-page fixture, round_width_vt=24000) submits 289 Spark jobs end to
+# end (~32/round: AQE materializes each shuffle stage as its own
+# sub-job, so one logical action fans into several job ids; setup
+# probes + final stop check included). The ~10% slack absorbs AQE plan
+# wobble; a real structural regression (one extra count()/collect() per
+# round) adds >=10 logical actions ≈ 20-30 AQE jobs and trips the bound.
+MAX_JOBS_TOTAL = 320
 
 
 def _max_job_id(spark) -> int:
@@ -40,8 +40,9 @@ def _max_job_id(spark) -> int:
 # Same fixture crawled in the full PRODUCTION layout (bucketed
 # frontier/corpus + compaction firing mid-crawl): the bucket-wise
 # anti-join adds one sched localCheckpoint job per round and each
-# compaction pass adds a handful of rewrite jobs. Measured round 5: 366.
-MAX_JOBS_TOTAL_BUCKETED = 420
+# compaction pass adds a handful of rewrite jobs. Measured round 5
+# at round_width_vt=24000 (9 rounds): 342.
+MAX_JOBS_TOTAL_BUCKETED = 380
 
 
 def _run_pinned(spark, ceiling, label, **cfg_kw):
@@ -53,7 +54,8 @@ def _run_pinned(spark, ceiling, label, **cfg_kw):
         before = _max_job_id(spark)
         res = crawl(spark, CrawlConfig(
             web_dir=f"{tmp}/web", job_dir=f"{tmp}/job",
-            min_delay_ms=1000, seen_parts=4, host_buckets=8, **cfg_kw))
+            min_delay_ms=1000, round_width_vt=24_000,
+            seen_parts=4, host_buckets=8, **cfg_kw))
         delta = _max_job_id(spark) - before
         assert res.rounds >= 5, "fixture must exercise a multi-round crawl"
         per_round = delta / res.rounds

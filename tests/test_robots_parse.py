@@ -126,7 +126,8 @@ def test_discover_mode_matches_preparsed_crawl(spark):
         results = {}
         for mode in ("preparsed", "discover"):
             cfg = CrawlConfig(web_dir=f"{tmp}/web", job_dir=f"{tmp}/{mode}",
-                              seen_parts=4, robots_mode=mode)
+                              seen_parts=4, robots_mode=mode,
+                              round_width_vt=48_000)
             res = crawl(spark, cfg)
             cat = ManifestCatalog(spark, f"{tmp}/{mode}")
             results[mode] = {
