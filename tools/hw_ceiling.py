@@ -13,6 +13,13 @@ Workloads:
 - ``arith``: tight integer hash loop (L1-resident, no memory traffic)
 - ``decode``: the engine's real PNG decode+validate kernel (fork-shared
   input, index-only task transfer — no pipe bottleneck)
+- ``memwrite``: fault + stream-write fresh anonymous pages, 8 MB per
+  task, NO disk and NO files — the reduced form of what every corpus/
+  shuffle write does before any device is involved (parquet encode
+  buffers, tmpfs page-cache copies). Round 5's tmpfs isolation showed
+  the crawl's 8→32 wall is NOT the virtio disk (tmpfs eff 0.17 ≈ disk
+  eff 0.21), so this kernel measures the remaining suspect: the VM's
+  memory-subsystem write path under all-core load.
 
 Usage: python tools/hw_ceiling.py [levels default 1,4,8,16,32] [reps]
 Writes BENCH/hw_ceiling.json.
@@ -50,6 +57,12 @@ def decode(i: int) -> int:
     return n
 
 
+def memwrite(i: int) -> int:
+    buf = np.empty(8 << 20, dtype=np.uint8)  # 8 MB fresh anon pages
+    buf[:] = i & 0xFF                        # fault + stream-write
+    return int(buf[0])
+
+
 def measure(fn, n_tasks: int, procs: int, chunk: int) -> float:
     with Pool(procs) as p:
         p.map(fn, range(min(n_tasks, procs * 4)), chunksize=4)  # warm
@@ -72,6 +85,7 @@ def main():
     for name, fn, n_tasks, chunk, unit_per_task in (
         ("arith", arith, 1600, 8, 1),
         ("decode", decode, 4000, 32, 30),
+        ("memwrite", memwrite, 1600, 8, 8),  # unit = MB written
     ):
         rates: dict[int, list[float]] = {c: [] for c in levels}
         for _ in range(reps):
