@@ -20,9 +20,10 @@ Scale notes (the 100 TB shape):
 - Lineage is truncated per iteration (``localCheckpoint``): iterative
   plans otherwise grow exponentially and OOM the driver — same fix as
   the crawl's round lineage (see round.py).
-- The per-iteration convergence check is one aggregate riding the
-  labels computation (count of changed labels), not a driver collect of
-  data rows.
+- The per-iteration convergence check RIDES the label-materialization
+  job via ``observe()`` (count of changed labels as an accumulator-style
+  metric) — one Spark action per iteration total, no separate
+  comparison job and no driver collect of data rows.
 - For adversarial graphs with long chains, the literature's
   large-star/small-star alternation (Kiveris et al., "Connected
   Components in MapReduce and Beyond", SoCC'14) converges in
@@ -64,26 +65,34 @@ def connected_components(edges: DataFrame, src: str, dst: str,
     labels = verts.select("node", F.col("node").alias("label"))
     labels = labels.localCheckpoint(eager=True)
 
+    from pyspark.sql import Observation
+
     for _ in range(max_iter):
         # candidate labels one hop away: neighbor's current label
         nbr = (
             bidir.join(labels, bidir["src"] == labels["node"])
             .select(F.col("dst").alias("node"), "label")
         )
-        new_labels = (
+        merged = (
             labels.unionByName(nbr)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)  # truncate iterative lineage
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1).count()
+        # convergence metric rides the SAME job that materializes the
+        # new labels (eager localCheckpoint): changed = rows whose label
+        # moved this iteration. The old label joins back in only to feed
+        # the observation; the checkpointed output stays (node, label).
+        obs = Observation()
+        old = labels.select("node", F.col("label").alias("_old_label"))
+        cmp = merged.join(old, "node").observe(
+            obs,
+            F.coalesce(  # empty vertex set → sum is NULL, not 0
+                F.sum((F.col("label") != F.col("_old_label")).cast("long")),
+                F.lit(0),
+            ).alias("changed"),
         )
-        labels = new_labels
-        if changed == 0:
+        labels = cmp.select("node", "label").localCheckpoint(eager=True)
+        if obs.get["changed"] == 0:
             return labels.select("node", F.col("label").alias("cluster_id")) \
                          .withColumnRenamed("node", id_col)
     raise RuntimeError(
