@@ -405,6 +405,19 @@ def q_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: coarse-quantize every embedding to its nearest sampled
+    centroid (8 cells), probe the 2 cells nearest the vec_id=0 query,
+    exact cosine top-k within the probed slice (simops.ivf_topk). Every
+    comparison is over round(cos, 4) of the sequential-fold double dot
+    product both engines share, ties by cell id — so the argmax-based
+    assignment is value-checked cross-engine, not just the final list."""
+    from pegasus_spark.functions.simops import ivf_topk
+
+    return ivf_topk(_t(spark, sf_dir, "embeddings"),
+                    k=10, n_cells=8, n_probe=2, query_id=0)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the crawl engine's politeness-schedule core over the
     sf0.001 pseudo-frontier."""
@@ -440,6 +453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_hamming_pairs": q_embedding_hamming_pairs,
         "phash_near_dup_pairs": q_phash_near_dup_pairs,
         "ann_lsh_bucket": q_ann_lsh_bucket,
+        "ann_ivf_topk": q_ann_ivf_topk,
     }
 
 
@@ -643,6 +657,31 @@ def oracle_sql() -> dict[str, str]:
             WHERE ROUND(list_cosine_similarity(a.emb, b.emb), 4) >= 0.3
         """,
         "ann_lsh_bucket": _ann_oracle(),
+        "ann_ivf_topk": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+            cents AS (SELECT vec_id AS cell_id, emb AS cemb FROM e
+                      ORDER BY vec_id LIMIT 8),
+            q AS (SELECT emb AS qe FROM e WHERE vec_id = 0),
+            assign AS (
+              SELECT vec_id, cell_id AS cell FROM (
+                SELECT e.vec_id, c.cell_id,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY e.vec_id
+                         ORDER BY ROUND(list_cosine_similarity(e.emb, c.cemb), 4) DESC,
+                                  c.cell_id ASC) AS rn
+                FROM e, cents c) WHERE rn = 1),
+            probed AS (
+              SELECT cell_id FROM cents, q
+              ORDER BY ROUND(list_cosine_similarity(cemb, qe), 4) DESC, cell_id ASC
+              LIMIT 2)
+            SELECT a.vec_id, a.cell,
+                   ROUND(list_cosine_similarity(e.emb, q.qe), 4) AS cos
+            FROM assign a
+            JOIN probed p ON a.cell = p.cell_id
+            JOIN e ON e.vec_id = a.vec_id, q
+            WHERE a.vec_id != 0
+            ORDER BY cos DESC, a.vec_id ASC LIMIT 10
+        """,
         "embedding_near_dup_lsh": _near_dup_lsh_oracle(),
         "simhash_signatures": _simhash_oracle(),
         "simhash_near_dup_pairs": _simhash_near_dup_oracle(),

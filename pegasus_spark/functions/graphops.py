@@ -21,9 +21,14 @@ Scale notes (the 100 TB shape):
   plans otherwise grow exponentially and OOM the driver — same fix as
   the crawl's round lineage (see round.py).
 - The per-iteration convergence check RIDES the label-materialization
-  job via ``observe()`` (count of changed labels as an accumulator-style
-  metric) — one Spark action per iteration total, no separate
-  comparison job and no driver collect of data rows.
+  job via ``observe()`` — one Spark action per iteration total, no
+  separate comparison job and no driver collect of data rows. The
+  observed metric is ``sum(label)`` (as decimal(38,0), overflow-proof):
+  min-propagation only ever DECREASES a vertex's label, so the sum is
+  strictly monotone while any label moves and the fixpoint is exactly
+  "sum unchanged" — no join back against the previous labels needed
+  (the earlier fused check still paid one extra shuffle join per
+  iteration to line up old vs new labels).
 - For adversarial graphs with long chains, the literature's
   large-star/small-star alternation (Kiveris et al., "Connected
   Components in MapReduce and Beyond", SoCC'14) converges in
@@ -62,10 +67,22 @@ def connected_components(edges: DataFrame, src: str, dst: str,
         verts = vertices.select(F.col(id_col).alias("node")).distinct()
     else:
         verts = bidir.select(F.col("src").alias("node")).distinct()
-    labels = verts.select("node", F.col("node").alias("label"))
-    labels = labels.localCheckpoint(eager=True)
 
     from pyspark.sql import Observation
+
+    # Convergence metric: sum(label) over all vertices, decimal(38,0) so
+    # it cannot overflow (≤1e13 rows × |id|≤9.3e18 < 1e32). Labels only
+    # DECREASE under min-propagation, so "sum unchanged" ⇔ "no label
+    # changed" ⇔ fixpoint — checked without joining old labels back in.
+    _label_sum = F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+
+    obs0 = Observation()
+    labels = (
+        verts.select("node", F.col("node").alias("label"))
+        .observe(obs0, _label_sum)
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = obs0.get["s"]  # None for an empty vertex set
 
     for _ in range(max_iter):
         # candidate labels one hop away: neighbor's current label
@@ -73,28 +90,19 @@ def connected_components(edges: DataFrame, src: str, dst: str,
             bidir.join(labels, bidir["src"] == labels["node"])
             .select(F.col("dst").alias("node"), "label")
         )
-        merged = (
+        obs = Observation()
+        labels = (
             labels.unionByName(nbr)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
+            .observe(obs, _label_sum)
+            .localCheckpoint(eager=True)
         )
-        # convergence metric rides the SAME job that materializes the
-        # new labels (eager localCheckpoint): changed = rows whose label
-        # moved this iteration. The old label joins back in only to feed
-        # the observation; the checkpointed output stays (node, label).
-        obs = Observation()
-        old = labels.select("node", F.col("label").alias("_old_label"))
-        cmp = merged.join(old, "node").observe(
-            obs,
-            F.coalesce(  # empty vertex set → sum is NULL, not 0
-                F.sum((F.col("label") != F.col("_old_label")).cast("long")),
-                F.lit(0),
-            ).alias("changed"),
-        )
-        labels = cmp.select("node", "label").localCheckpoint(eager=True)
-        if obs.get["changed"] == 0:
+        cur_sum = obs.get["s"]
+        if cur_sum == prev_sum:
             return labels.select("node", F.col("label").alias("cluster_id")) \
                          .withColumnRenamed("node", id_col)
+        prev_sum = cur_sum
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} iterations "
         f"— raise max_iter (component diameter exceeds the budget)"

@@ -455,3 +455,78 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def ivf_topk(df: DataFrame, k: int = 10, n_cells: int = 8, n_probe: int = 2,
+             query_id: int = 0, vec_col: str = "embedding",
+             id_col: str = "vec_id") -> DataFrame:
+    """IVF (inverted-file) ANN top-k — the coarse-quantizer scale path
+    next to ``lsh_bucket_topk``: vectors are assigned to their nearest
+    centroid cell once at ingest, a query probes only the ``n_probe``
+    cells nearest to it, and the exact cosine top-k runs over that
+    candidate slice instead of the full table.
+
+    Centroids are SAMPLED deterministically (the ``n_cells`` smallest
+    ids) rather than k-means-trained, so the whole operator — assignment
+    argmax included — is a pure function of the data with a
+    DuckDB-expressible twin: every comparison is over ``round(cos, 4)``
+    of the same sequential-fold double dot product both engines compute
+    (the parity basis already value-checked by ``embedding_cosine_topk``),
+    ties broken by cell id. At 100 TB: train cells with k-means||
+    (MLlib), store ``cell`` as a partition column at write time so a
+    query prunes partitions instead of filtering, and do the assignment
+    argmax in a numpy-matmul pandas UDF over the broadcast centroid
+    matrix (no row inflation). Here the assignment is the JVM twin: one
+    broadcast crossJoin (n·C narrow rows) into a partially-aggregating
+    ``max_by`` — shuffle carries one row per vector.
+
+    Returns (vec_id, cell, cos): the top-k candidates by cosine vs the
+    ``query_id`` vector among vectors in probed cells, query excluded.
+    Recall vs exact top-k depends on n_probe/n_cells like any IVF."""
+    e = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("emb"),
+    )
+    cents = (
+        e.orderBy("vec_id").limit(n_cells)
+        .select(F.col("vec_id").alias("cell_id"), F.col("emb").alias("cemb"))
+    )
+    q = e.filter(F.col("vec_id") == query_id).select(F.col("emb").alias("qe"))
+
+    # coarse quantization: nearest centroid by rounded cosine, tie → min cell
+    assign = (
+        e.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id", "cell_id",
+            F.round(cosine_col(F.col("emb"), F.col("cemb")), 4).alias("ccos"),
+        )
+        .groupBy("vec_id")
+        .agg(F.max_by(
+            "cell_id", F.struct(F.col("ccos"), (-F.col("cell_id")).alias("_t"))
+        ).alias("cell"))
+    )
+    probed = (
+        cents.crossJoin(F.broadcast(q))
+        .select(
+            "cell_id",
+            F.round(cosine_col(F.col("cemb"), F.col("qe")), 4).alias("qcos"),
+        )
+        .orderBy(F.desc("qcos"), F.asc("cell_id"))
+        .limit(n_probe)
+        .select("cell_id")
+    )
+    cand = (
+        assign.join(F.broadcast(probed), assign["cell"] == probed["cell_id"])
+        .select("vec_id", "cell")
+        .join(e, "vec_id")
+        .filter(F.col("vec_id") != query_id)
+    )
+    return (
+        cand.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id", "cell",
+            F.round(cosine_col(F.col("emb"), F.col("qe")), 4).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(k)
+    )

@@ -87,6 +87,36 @@ def test_cosine_topk_and_lsh(spark):
     assert lsh[0]["vec_id"] == 0
 
 
+def test_ivf_topk_prunes_to_probed_cells(spark):
+    # Two well-separated directions; centroids are the sampled ids 0..3.
+    # Vectors near direction-of-0 must be retrieved; vectors near the
+    # opposite direction sit in unprobed cells and must be pruned even
+    # though a brute-force scan would still rank them (that pruning IS
+    # the IVF contract).
+    rng = np.random.default_rng(11)
+    base_a = rng.standard_normal(16)
+    base_b = -base_a  # antipodal: cos(a, b) = -1
+    rows = []
+    for i in range(120):
+        base = base_a if i % 2 == 0 else base_b
+        v = base + rng.standard_normal(16) * 0.05
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = simops.ivf_topk(df, k=10, n_cells=4, n_probe=2, query_id=0).collect()
+    assert len(out) == 10
+    assert all(r["vec_id"] != 0 for r in out)
+    # every result is cosine-close to the query's direction, none from
+    # the antipodal family (their cells are not probed)
+    assert all(r["vec_id"] % 2 == 0 for r in out)
+    assert all(r["cos"] > 0.9 for r in out)
+    # results come only from probed cells, and cells are real centroids
+    assert all(r["cell"] in (0, 1, 2, 3) for r in out)
+    # deterministic: same input → same list
+    again = simops.ivf_topk(df, k=10, n_cells=4, n_probe=2, query_id=0).collect()
+    assert [(r["vec_id"], r["cos"]) for r in out] == \
+           [(r["vec_id"], r["cos"]) for r in again]
+
+
 def test_embedding_near_dup_pairs(spark):
     rng = np.random.default_rng(4)
     vecs = rng.standard_normal((50, 8)).astype(np.float32)
