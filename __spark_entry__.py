@@ -234,6 +234,20 @@ def q_token_counts_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token budget under the BPE-ish pretokenizer regex
+    (textops.bpe_token_count) — the second token-counting mode next to
+    whitespace counts; same pattern rendered verbatim into the DuckDB
+    oracle (leftmost-first alternation in both engines)."""
+    from pegasus_spark.functions.textops import bpe_token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.sum(bpe_token_count(F.col("text")).cast("long")).alias("total_bpe_tokens"),
+        F.count("*").alias("docs"),
+    )
+
+
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pegasus_spark.functions.textops import ngram_jaccard_pairs
 
@@ -442,6 +456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "langid": q_langid,
         "token_counts_by_source": q_token_counts_by_source,
+        "bpe_token_counts": q_bpe_token_counts,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "embedding_cosine_topk": q_embedding_cosine_topk,
@@ -604,6 +619,7 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS docs
             FROM documents GROUP BY source
         """,
+        "bpe_token_counts": _bpe_token_oracle(),
         "ngram_jaccard_pairs": f"""
             WITH base AS (
               SELECT doc_id, md5(array_to_string(w[1:4], ' ')) AS block,
@@ -824,6 +840,23 @@ def _simhash_near_dup_oracle() -> str:
         _simhash_cte(), "sg", "doc_id", "sim_lo", "sim_hi",
         n_bands=8, band_bits=8, max_hamming=7, out_a="doc_a", out_b="doc_b",
     )
+
+
+def _bpe_token_oracle() -> str:
+    """The SAME pretokenizer pattern textops.bpe_token_count compiles on
+    the JVM, rendered verbatim for RE2 (both engines use leftmost-first
+    alternation; the pattern avoids lookahead and \\s on purpose —
+    textops._BPE_RE docstring has the portability argument)."""
+    from pegasus_spark.functions.textops import _BPE_RE
+
+    pat = _BPE_RE.replace("'", "''")
+    return f"""
+        SELECT source,
+               CAST(SUM(len(regexp_extract_all(text, '{pat}'))) AS BIGINT)
+                 AS total_bpe_tokens,
+               COUNT(*) AS docs
+        FROM documents GROUP BY source
+    """
 
 
 def _dedup_clusters_oracle() -> str:

@@ -32,7 +32,8 @@ QUERY_NAMES = [
     "frontier_union_dedup", "seed_first_discovery",
     "tpch_q1", "tpch_q3", "tpch_q6",
     "text_quality", "doc_fingerprint", "dedup_exact", "langid",
-    "token_counts_by_source", "ngram_jaccard_pairs", "minhash_lsh_pairs",
+    "token_counts_by_source", "bpe_token_counts",
+    "ngram_jaccard_pairs", "minhash_lsh_pairs",
     "embedding_cosine_topk", "embedding_near_dup_pairs",
     "embedding_near_dup_lsh", "simhash_signatures", "simhash_near_dup_pairs",
     "embedding_hamming_pairs", "phash_near_dup_pairs", "ann_lsh_bucket",

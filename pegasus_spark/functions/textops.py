@@ -25,6 +25,30 @@ def token_count(col: Column) -> Column:
     return F.size(tokens(col))
 
 
+# GPT-2-style pretokenizer (the BPE front end): contractions, space-
+# prefixed letter runs, digit runs, punctuation runs, whitespace runs.
+# Two deliberate deviations from the published pattern keep it portable
+# across regex engines (Java here, RE2 in the DuckDB oracle, Python re
+# in tests — all leftmost-first alternation): no lookahead (RE2 has
+# none), and EXPLICIT whitespace classes (Java's \s includes \x0B,
+# RE2's does not).
+_BPE_RE = (
+    "'(?:s|t|re|ve|m|ll|d)"
+    "| ?[A-Za-z]+"
+    "| ?[0-9]+"
+    "| ?[^A-Za-z0-9 \\t\\n\\r\\f]+"
+    "|[ \\t\\n\\r\\f]+"
+)
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Token count under the BPE-ish pretokenizer — the cheap proxy for
+    "how many LLM tokens is this document" a training-data pipeline
+    budgets with (whitespace counts undercount code/punctuation-heavy
+    text badly). Pure JVM regex — one linear pass, no UDF."""
+    return F.size(F.regexp_extract_all(col, F.lit(_BPE_RE), F.lit(0)))
+
+
 def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document quality scoring: token count, mean token length,
     punctuation ratio, stopword ratio — the standard cheap filters a

@@ -87,6 +87,34 @@ def test_cosine_topk_and_lsh(spark):
     assert lsh[0]["vec_id"] == 0
 
 
+def test_bpe_token_count_matches_reference_pretokenizer(spark):
+    # python's re engine shares leftmost-first alternation with Java and
+    # RE2, so re.findall over the SAME pattern is the executable spec
+    import re as _re
+
+    samples = [
+        "hello world",
+        "don't stop, won't you're it's I'll we'd they've I'm",
+        "x=42; y3 = foo(bar,  baz)!?  \t tabs\nand newlines",
+        "",
+        "   ",
+        "a1b2c3 --- ''' 12,345.67",
+    ]
+    from pegasus_spark.functions.textops import _BPE_RE, bpe_token_count
+    expected = [len(_re.findall(_BPE_RE, s)) for s in samples]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(samples)],
+                               "i long, text string")
+    got = {r["i"]: r["n"] for r in
+           df.select("i", bpe_token_count(F.col("text")).alias("n")).collect()}
+    assert [got[i] for i in range(len(samples))] == expected
+    # sanity: punctuation-heavy text yields MORE tokens than whitespace
+    # splitting (the reason this counter exists)
+    from pegasus_spark.functions.textops import token_count
+    ws = df.select("i", token_count(F.col("text")).alias("n")).collect()
+    ws = {r["i"]: r["n"] for r in ws}
+    assert got[2] > ws[2]
+
+
 def test_ivf_topk_prunes_to_probed_cells(spark):
     # Two well-separated directions; centroids are the sampled ids 0..3.
     # Vectors near direction-of-0 must be retrieved; vectors near the
