@@ -324,6 +324,21 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(d, pairs)
 
 
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clustering as ``dedup_clusters`` but through the
+    large-star/small-star alternation (graphops.connected_components_star
+    — Kiveris et al. SoCC'14), the O(log n)-round scale path for
+    adversarial long-chain graphs. Both methods converge to the
+    min-vertex-id fixpoint, so this shares the recursive-CTE oracle —
+    the star implementation is value-checked cross-engine end to end."""
+    from pegasus_spark.functions.graphops import dedup_clusters
+    from pegasus_spark.functions.simops import simhash_md5_near_dup_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = simhash_md5_near_dup_pairs(d, max_hamming=7, band_bits=8)
+    return dedup_clusters(d, pairs, method="star")
+
+
 def q_embedding_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """phash-style banded Hamming near-dup over the 64-plane projection
     signature of embeddings — integer-exact end to end, so the verify
@@ -465,6 +480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_signatures": q_simhash_signatures,
         "simhash_near_dup_pairs": q_simhash_near_dup_pairs,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_clusters_star": q_dedup_clusters_star,
         "embedding_hamming_pairs": q_embedding_hamming_pairs,
         "phash_near_dup_pairs": q_phash_near_dup_pairs,
         "ann_lsh_bucket": q_ann_lsh_bucket,
@@ -702,6 +718,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_signatures": _simhash_oracle(),
         "simhash_near_dup_pairs": _simhash_near_dup_oracle(),
         "dedup_clusters": _dedup_clusters_oracle(),
+        "dedup_clusters_star": _dedup_clusters_oracle(),
         "embedding_hamming_pairs": _embedding_hamming_oracle(),
         "phash_near_dup_pairs": _phash_near_dup_oracle(),
     }

@@ -37,7 +37,7 @@ QUERY_NAMES = [
     "embedding_cosine_topk", "embedding_near_dup_pairs",
     "embedding_near_dup_lsh", "simhash_signatures", "simhash_near_dup_pairs",
     "embedding_hamming_pairs", "phash_near_dup_pairs", "ann_lsh_bucket",
-    "ann_ivf_topk", "dedup_clusters",
+    "ann_ivf_topk", "dedup_clusters", "dedup_clusters_star",
 ]
 
 

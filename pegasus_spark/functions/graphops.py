@@ -29,11 +29,13 @@ Scale notes (the 100 TB shape):
   "sum unchanged" — no join back against the previous labels needed
   (the earlier fused check still paid one extra shuffle join per
   iteration to line up old vs new labels).
-- For adversarial graphs with long chains, the literature's
-  large-star/small-star alternation (Kiveris et al., "Connected
-  Components in MapReduce and Beyond", SoCC'14) converges in
-  O(log n) rounds with the same join+min building blocks; plain
-  min-propagation is used here because dedup components are shallow.
+- For adversarial graphs with long chains, ``connected_components_star``
+  implements the literature's large-star/small-star alternation
+  (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  SoCC'14): O(log n)-ish rounds vs O(diameter) for plain propagation,
+  built from the same join+min blocks. Plain min-propagation stays the
+  default because dedup components are shallow (2-4 hops) and it costs
+  one shuffle-join per round vs the star rounds' two.
 """
 
 from __future__ import annotations
@@ -109,15 +111,120 @@ def connected_components(edges: DataFrame, src: str, dst: str,
     )
 
 
+def connected_components_star(edges: DataFrame, src: str, dst: str,
+                              vertices: DataFrame | None = None,
+                              id_col: str = "node",
+                              max_rounds: int = 24) -> DataFrame:
+    """Connected components via large-star/small-star alternation
+    (Kiveris et al., SoCC'14) — the scale path for ADVERSARIAL graphs:
+    a diameter-D component costs plain min-propagation D rounds, but
+    the star alternation contracts it in O(log D)-ish rounds, each
+    round two groupBy-min shuffles + two joins, all JVM built-ins.
+
+    large-star: every node strictly larger than a center u is re-wired
+    to m(u) = min(u ∪ neighbors(u)). small-star: every node ≤ the
+    center (plus the center itself) is re-wired to the center's min
+    neighbor. The joint fixpoint is a forest of depth-1 stars rooted at
+    each component's minimum vertex id — the same labels the plain
+    fixpoint produces, so the two methods are interchangeable and share
+    the recursive-CTE oracle.
+
+    Convergence is detected EXACTLY: edges are kept in canonical
+    (child > parent) orientation, the round's edge count rides the
+    materialization via ``observe``, and only when counts match is a
+    left-anti set-equality probe run — no hash-sum approximation.
+    Raises if ``max_rounds`` is hit (silent truncation would return
+    under-merged clusters).
+    """
+    e = (
+        edges.select(
+            F.greatest(F.col(src), F.col(dst)).alias("child"),
+            F.least(F.col(src), F.col(dst)).alias("parent"),
+        )
+        .where(F.col("child") != F.col("parent"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if vertices is not None:
+        verts = vertices.select(F.col(id_col).alias("node")).distinct()
+    else:
+        verts = (
+            e.select(F.col("child").alias("node"))
+            .unionByName(e.select(F.col("parent").alias("node")))
+            .distinct()
+        )
+
+    from pyspark.sql import Observation
+
+    prev_count = e.count()
+    for _ in range(max_rounds):
+        # large-star over the bidirected view: center = src, emit
+        # (v, m(center)) for every strictly-larger neighbor v. Output is
+        # canonical by construction: v > center >= m.
+        bidir = e.select(F.col("child").alias("u"), F.col("parent").alias("v")) \
+                 .unionByName(e.select(F.col("parent").alias("u"),
+                                       F.col("child").alias("v")))
+        lmin = bidir.groupBy("u").agg(F.min("v").alias("nbr_min"))
+        large = (
+            bidir.join(lmin, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("child"),
+                    F.least("nbr_min", F.col("u")).alias("parent"))
+        )
+        # small-star over canonical (child > parent) edges: center =
+        # child, m = its min parent; re-wire every parent (and the
+        # center) to m.
+        smin = large.groupBy("child").agg(F.min("parent").alias("mn"))
+        new_e = (
+            large.join(smin, "child")
+            .where(F.col("parent") != F.col("mn"))
+            .select(F.col("parent").alias("child"), F.col("mn").alias("parent"))
+            .unionByName(smin.select(F.col("child"), F.col("mn").alias("parent")))
+            .distinct()
+        )
+        obs = Observation()
+        new_e = new_e.observe(obs, F.count(F.lit(1)).alias("n")) \
+                     .localCheckpoint(eager=True)
+        cur_count = obs.get["n"]
+        if cur_count == prev_count and \
+                new_e.join(e, ["child", "parent"], "left_anti").isEmpty():
+            e = new_e
+            break
+        e, prev_count = new_e, cur_count
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_rounds} "
+            f"rounds — raise max_rounds")
+
+    members = e.select(F.col("child").alias("node"),
+                       F.col("parent").alias("label"))
+    roots = e.select(F.col("parent").alias("node"),
+                     F.col("parent").alias("label")).distinct()
+    labels = members.unionByName(roots)
+    return (
+        verts.join(labels, "node", "left")
+        .select(F.col("node").alias(id_col),
+                F.coalesce("label", F.col("node")).alias("cluster_id"))
+    )
+
+
 def dedup_clusters(docs: DataFrame, pairs: DataFrame,
                    id_col: str = "doc_id",
-                   pair_a: str = "doc_a", pair_b: str = "doc_b") -> DataFrame:
+                   pair_a: str = "doc_a", pair_b: str = "doc_b",
+                   method: str = "propagate") -> DataFrame:
     """Cluster assignment for EVERY document: near-dup pair members get
     their component's min doc id, everything else is a singleton cluster
     of itself. Output (``id_col``, cluster_id, is_canonical) — the
     pipeline keeps ``is_canonical`` rows and drops the rest, turning the
-    pair generators into an actual dedup decision."""
-    comp = connected_components(pairs, pair_a, pair_b, id_col=id_col)
+    pair generators into an actual dedup decision. ``method`` picks the
+    component algorithm: ``propagate`` (min-label, O(diameter) rounds —
+    right for shallow dedup graphs) or ``star`` (large/small-star
+    alternation, O(log)-round scale path for adversarial chains); both
+    converge to identical labels."""
+    if method == "star":
+        comp = connected_components_star(pairs, pair_a, pair_b, id_col=id_col)
+    else:
+        comp = connected_components(pairs, pair_a, pair_b, id_col=id_col)
     out = (
         docs.select(id_col)
         .join(comp, id_col, "left")

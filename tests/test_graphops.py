@@ -46,6 +46,46 @@ def test_cc_non_convergence_raises(spark):
         _cc(spark, [(i, i + 1) for i in range(9)], max_iter=2)
 
 
+def _cc_star(spark, edge_rows, vert_rows=None, **kw):
+    edges = spark.createDataFrame(edge_rows, "a long, b long")
+    verts = (
+        spark.createDataFrame([(v,) for v in vert_rows], "node long")
+        if vert_rows is not None else None
+    )
+    out = graphops.connected_components_star(edges, "a", "b",
+                                             vertices=verts, **kw)
+    return {r["node"]: r["cluster_id"] for r in out.collect()}
+
+
+def test_star_adversarial_chain_beats_propagation_budget(spark):
+    """A 64-vertex path (diameter 63): plain min-propagation needs 63
+    rounds and RAISES under its default 16-round budget; the star
+    alternation contracts it within its default budget — the exact
+    adversarial shape the O(log n) scale path exists for."""
+    edges = [(i, i + 1) for i in range(63)]
+    with pytest.raises(RuntimeError, match="did not converge"):
+        _cc(spark, edges)  # default max_iter=16 < diameter
+    got = _cc_star(spark, edges)
+    assert got == {i: 0 for i in range(64)}
+
+
+def test_star_matches_propagation_on_mixed_graph(spark):
+    # chain + triangle + isolated + reversed/duplicate/self-loop edges:
+    # both methods must produce the identical min-label fixpoint
+    edges = [(2, 1), (2, 3), (3, 4), (10, 11), (11, 12), (12, 10),
+             (4, 3), (7, 7), (20, 25), (25, 20)]
+    verts = [1, 2, 3, 4, 7, 10, 11, 12, 20, 25, 99]
+    assert _cc_star(spark, edges, vert_rows=verts) == \
+        _cc(spark, edges, vert_rows=verts) == \
+        {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 10: 10, 11: 10, 12: 10,
+         20: 20, 25: 20, 99: 99}
+
+
+def test_star_empty_and_singleton_edges(spark):
+    assert _cc_star(spark, [], vert_rows=[3, 5]) == {3: 3, 5: 5}
+    assert _cc_star(spark, [(8, 2)]) == {2: 2, 8: 2}
+
+
 def test_dedup_clusters_matches_recursive_cte(spark):
     """Same fixpoint as a DuckDB recursive CTE over the identical edge
     list — the in-repo twin of the driver's dedup_clusters oracle
