@@ -248,6 +248,14 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/Dolma-style repetition filters (dup-line fraction,
+    top-bigram occurrence share) — see textops.repetition_metrics."""
+    from pegasus_spark.functions.textops import repetition_metrics
+
+    return repetition_metrics(_t(spark, sf_dir, "documents"))
+
+
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pegasus_spark.functions.textops import ngram_jaccard_pairs
 
@@ -472,6 +480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": q_langid,
         "token_counts_by_source": q_token_counts_by_source,
         "bpe_token_counts": q_bpe_token_counts,
+        "repetition_metrics": q_repetition_metrics,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "embedding_cosine_topk": q_embedding_cosine_topk,
@@ -636,6 +645,34 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY source
         """,
         "bpe_token_counts": _bpe_token_oracle(),
+        "repetition_metrics": f"""
+            WITH lines AS (
+              SELECT doc_id,
+                     list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                                 l -> l <> '') AS ls
+              FROM documents),
+            base AS (
+              SELECT doc_id, len(ls) AS n_lines,
+                     ROUND((len(ls) - len(list_distinct(ls))) / GREATEST(len(ls), 1), 4)
+                       AS dup_line_frac
+              FROM lines),
+            grams AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) >= 2
+                          THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+                          ELSE [array_to_string(w, ' ')] END AS gs
+              FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+                    FROM documents)),
+            counts AS (
+              SELECT doc_id, {_MD5INT.format('g')} AS h, COUNT(*) AS c
+              FROM (SELECT doc_id, unnest(gs) AS g FROM grams) GROUP BY 1, 2),
+            shares AS (
+              SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+                     ROUND(MAX(c) / SUM(c), 4) AS top_bigram_share
+              FROM counts GROUP BY 1)
+            SELECT base.doc_id, n_lines, dup_line_frac, n_bigrams, top_bigram_share
+            FROM base JOIN shares ON base.doc_id = shares.doc_id
+        """,
         "ngram_jaccard_pairs": f"""
             WITH base AS (
               SELECT doc_id, md5(array_to_string(w[1:4], ' ')) AS block,

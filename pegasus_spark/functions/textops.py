@@ -70,6 +70,46 @@ def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher/Dolma-style repetition signals per document — the standard
+    "is this page boilerplate / spam" filters a crawl-to-training-corpus
+    pipeline applies alongside `quality_metrics`:
+
+    - ``dup_line_frac``: fraction of non-empty (trimmed) lines that are
+      duplicates of an earlier line (1 − distinct/total).
+    - ``top_bigram_share``: share of all word-bigram OCCURRENCES taken by
+      the most frequent bigram (docs under 2 tokens count their whole
+      token string as one gram — the `exploded_shingle_hashes` short-doc
+      contract — so the share is 1.0, i.e. maximally repetitive, which is
+      the right filter polarity for degenerate docs).
+
+    Physical shape: the line metrics are pure per-row array built-ins
+    (no shuffle); the bigram share reuses the posexplode+lead shingle
+    pipeline with int64-hashed grams, so both aggregations are
+    partial-aggregating shuffles over narrow (doc_id, int64) rows —
+    linear at 100 TB, nothing quadratic, no UDFs."""
+    t = F.col(text_col)
+    lines = F.filter(
+        F.transform(F.split(t, "\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+    n_lines = F.size(lines)
+    n_distinct = F.size(F.array_distinct(lines))
+    base = df.select(
+        "doc_id",
+        n_lines.alias("n_lines"),
+        F.round((n_lines - n_distinct) / F.greatest(n_lines, F.lit(1)), 4)
+        .alias("dup_line_frac"),
+    )
+    bi = exploded_shingle_hashes(df, text_col, n=2)
+    counts = bi.groupBy("doc_id", "h").agg(F.count("*").alias("c"))
+    shares = counts.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_bigrams"),
+        F.round(F.max("c") / F.sum("c"), 4).alias("top_bigram_share"),
+    )
+    return base.join(shares, "doc_id")
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 of whitespace-normalized lowercase text.
     md5 is identical across engines → exact-oracle-checkable; serves as

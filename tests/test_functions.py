@@ -45,6 +45,30 @@ def test_langid(spark, docs):
     assert pred[6] == "other"
 
 
+def test_repetition_metrics(spark):
+    rows = [
+        # 4 non-empty lines, "spam spam" repeated 3x → 2 dup lines;
+        # bigrams of "spam spam\nspam spam\nspam spam\nok line" tokens:
+        # [spam]x6 [ok] [line]: (spam,spam)x5 (spam,ok) (ok,line) = 7 occ,
+        # top share 5/7
+        (0, "spam spam\nspam spam\nspam spam\nok line"),
+        # all lines distinct, all bigrams distinct
+        (1, "alpha beta\ngamma delta"),
+        # 1-token doc → short-gram fallback: 1 gram, share 1.0
+        (2, "solo"),
+        # blank/whitespace-only lines are dropped before the line metrics
+        (3, "a b\n\n   \na b"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    m = {r["doc_id"]: r for r in textops.repetition_metrics(docs).collect()}
+    assert m[0]["n_lines"] == 4 and m[0]["dup_line_frac"] == 0.5
+    assert m[0]["n_bigrams"] == 7 and m[0]["top_bigram_share"] == round(5 / 7, 4)
+    assert m[1]["dup_line_frac"] == 0.0 and m[1]["top_bigram_share"] == round(1 / 3, 4)
+    assert m[2]["n_lines"] == 1 and m[2]["n_bigrams"] == 1
+    assert m[2]["top_bigram_share"] == 1.0
+    assert m[3]["n_lines"] == 2 and m[3]["dup_line_frac"] == 0.5
+
+
 def test_minhash_lsh_finds_near_dup(spark, docs):
     pairs = {(r["doc_a"], r["doc_b"]) for r in
              textops.minhash_lsh_pairs(docs).collect()}
