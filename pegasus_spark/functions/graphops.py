@@ -43,6 +43,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def _free_checkpoint(df: DataFrame) -> None:
+    """Best-effort release of a ``localCheckpoint(eager=True)``'s cached
+    blocks (ADVICE r5: iterative loops otherwise hold every round's
+    checkpointed labels in executor storage simultaneously). The
+    checkpointed Dataset's analyzed plan is a LogicalRDD whose ``rdd``
+    field is exactly the persisted RDD; unpersist it non-blocking.
+    Failure is harmless — Spark's ContextCleaner unpersists the RDD
+    anyway once the driver-side reference is garbage-collected."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def connected_components(edges: DataFrame, src: str, dst: str,
                          vertices: DataFrame | None = None,
                          id_col: str = "node",
@@ -78,9 +92,18 @@ def connected_components(edges: DataFrame, src: str, dst: str,
     # changed" ⇔ fixpoint — checked without joining old labels back in.
     _label_sum = F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
 
+    # FUSED first propagation step: with L0(v)=v, the first iteration's
+    # fixpoint state is L1(v) = min(v, min neighbor) — computable straight
+    # from the (checkpointed) edge set with ONE groupBy + left join, so
+    # the loop starts one step ahead and every call saves one full
+    # join+union+aggregate+checkpoint pass. F.least skips the null a
+    # neighborless vertex gets from the left join, yielding L1(v)=v.
     obs0 = Observation()
+    nbr0 = bidir.groupBy(F.col("dst").alias("node")).agg(
+        F.min("src").alias("_nm"))
     labels = (
-        verts.select("node", F.col("node").alias("label"))
+        verts.join(nbr0, "node", "left")
+        .select("node", F.least(F.col("node"), F.col("_nm")).alias("label"))
         .observe(obs0, _label_sum)
         .localCheckpoint(eager=True)
     )
@@ -93,6 +116,7 @@ def connected_components(edges: DataFrame, src: str, dst: str,
             .select(F.col("dst").alias("node"), "label")
         )
         obs = Observation()
+        prev_labels = labels
         labels = (
             labels.unionByName(nbr)
             .groupBy("node")
@@ -101,7 +125,9 @@ def connected_components(edges: DataFrame, src: str, dst: str,
             .localCheckpoint(eager=True)
         )
         cur_sum = obs.get["s"]
+        _free_checkpoint(prev_labels)
         if cur_sum == prev_sum:
+            _free_checkpoint(bidir)
             return labels.select("node", F.col("label").alias("cluster_id")) \
                          .withColumnRenamed("node", id_col)
         prev_sum = cur_sum
@@ -156,6 +182,9 @@ def connected_components_star(edges: DataFrame, src: str, dst: str,
 
     from pyspark.sql import Observation
 
+    # verts (above) lazily derives from THIS checkpoint and is consumed
+    # only after the loop — it must never be freed inside it
+    e_input = e
     prev_count = e.count()
     for _ in range(max_rounds):
         # large-star over the bidirected view: center = src, emit
@@ -186,11 +215,16 @@ def connected_components_star(edges: DataFrame, src: str, dst: str,
         new_e = new_e.observe(obs, F.count(F.lit(1)).alias("n")) \
                      .localCheckpoint(eager=True)
         cur_count = obs.get["n"]
-        if cur_count == prev_count and \
-                new_e.join(e, ["child", "parent"], "left_anti").isEmpty():
-            e = new_e
-            break
+        converged = cur_count == prev_count and \
+            new_e.join(e, ["child", "parent"], "left_anti").isEmpty()
+        # previous round's checkpointed edges are dead either way (the
+        # equality probe above was their last consumer): release the
+        # blocks instead of accumulating every round's edge set (ADVICE)
+        if e is not e_input:
+            _free_checkpoint(e)
         e, prev_count = new_e, cur_count
+        if converged:
+            break
     else:
         raise RuntimeError(
             f"connected_components_star did not converge in {max_rounds} "
@@ -221,6 +255,10 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame,
     right for shallow dedup graphs) or ``star`` (large/small-star
     alternation, O(log)-round scale path for adversarial chains); both
     converge to identical labels."""
+    if method not in ("propagate", "star"):
+        # a typo'd method silently falling back to the O(diameter) path
+        # (and its RuntimeError on deep chains) is a footgun (ADVICE r5)
+        raise ValueError(f"method must be 'propagate' or 'star', got {method!r}")
     if method == "star":
         comp = connected_components_star(pairs, pair_a, pair_b, id_col=id_col)
     else:

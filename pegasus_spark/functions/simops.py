@@ -21,6 +21,11 @@ from pyspark.sql.types import LongType
 
 
 def _dot(a, b):
+    # sequential left fold — kept as the higher-order form on purpose:
+    # an unrolled element_at(i) add chain (dim=64) was A/B-tested in r6
+    # and LOST 3-5x (the ~400-node expression tree defeats codegen and
+    # evaluates interpreted per pair), while aggregate/zip_with evaluate
+    # through one tight interpreted loop. See OPTIMIZATION_r06.md.
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                        F.lit(0.0), lambda acc, v: acc + v)
 
@@ -234,13 +239,20 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.3,
                              vec_col: str = "embedding", id_col: str = "vec_id",
                              block_col: str = "label") -> DataFrame:
     """Near-dup pairs by cosine, blocked on ``block_col`` so the join is
-    bucket-local (at scale: LSH bucket instead of label)."""
+    bucket-local (at scale: LSH bucket instead of label).
+
+    Physical shape: the norm ``sqrt(Σv²)`` is a PER-ROW quantity, so it
+    is computed once per vector BEFORE the self-join instead of twice
+    per candidate pair inside it (identical arithmetic — same fold, same
+    sqrt, same multiply — so round(cos,4) is bit-identical); the pair
+    condition then evaluates ONE dot-product fold instead of three."""
     base = df.select(
         F.col(id_col), F.col(block_col).alias("_blk"),
         F.col(vec_col).cast("array<double>").alias("_v"),
     )
+    base = base.withColumn("_n", _norm(F.col("_v")))
     a, b = base.alias("a"), base.alias("b")
-    cos = cosine_col(F.col("a._v"), F.col("b._v"))
+    cos = _dot(F.col("a._v"), F.col("b._v")) / (F.col("a._n") * F.col("b._n"))
     return (
         a.join(b, F.col("a._blk") == F.col("b._blk"))
         .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
@@ -398,8 +410,14 @@ def simhash_md5_near_dup_pairs(df: DataFrame, text_col: str = "text",
     — the oracle-checkable variant of simhash_near_dup_pairs: every piece
     (tokenize, md5 halves, sign-sums, band join, bit_count) is
     ANSI-expressible, so the whole near-dup operator is value-checked
-    cross-engine (VERDICT r3 missing #3)."""
-    sigs = simhash_md5(df, text_col).select("doc_id", "sim_lo", "sim_hi")
+    cross-engine (VERDICT r3 missing #3).
+
+    The signature aggregation is materialized once (localCheckpoint):
+    the band self-join otherwise embeds the tokenize→md5→sign-sum
+    pipeline in BOTH join branches and executes it twice per action
+    (ReusedExchange does not fire across the explode)."""
+    sigs = simhash_md5(df, text_col).select(
+        "doc_id", "sim_lo", "sim_hi").localCheckpoint(eager=True)
     return hamming_band_pairs_2x32(
         sigs, "doc_id", "sim_lo", "sim_hi", max_hamming, band_bits
     ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "hamming")

@@ -216,11 +216,12 @@ def _mix(h: Column, i: int) -> Column:
     return F.pmod(F.lit(a).cast("long") * h + F.lit(b), F.lit(MINHASH_P))
 
 
-def minhash_signature(df: DataFrame, text_col: str = "text", num_hashes: int = 8,
-                      shingle_n: int = 3) -> DataFrame:
-    """MinHash signature per document: one md5-int per shingle, k seeds
-    derived by integer mixing, min per seed. Columns mh0..mh{k-1}.
-    Built-ins only."""
+def _minhash_sig_agg(df: DataFrame, text_col: str, num_hashes: int,
+                     shingle_n: int) -> DataFrame:
+    """(doc_id, mh0..mh{k-1}) — the signature aggregation alone, without
+    the join back onto the document row (every doc with non-null text
+    contributes ≥1 shingle row, so the aggregate covers exactly the
+    docs the inner join would keep)."""
     if num_hashes > len(MINHASH_AB):
         raise ValueError(f"num_hashes > {len(MINHASH_AB)} needs more mixing constants")
     # explode + groupBy (not k array_min/transform columns): Catalyst's
@@ -230,8 +231,15 @@ def minhash_signature(df: DataFrame, text_col: str = "text", num_hashes: int = 8
     # shuffle. Duplicate shingles don't affect mins, so no dedup needed.
     sh = exploded_shingle_hashes(df, text_col, shingle_n)
     aggs = [F.min(_mix(F.col("h"), i)).alias(f"mh{i}") for i in range(num_hashes)]
-    sig = sh.groupBy("doc_id").agg(*aggs)
-    return df.join(sig, "doc_id")
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signature(df: DataFrame, text_col: str = "text", num_hashes: int = 8,
+                      shingle_n: int = 3) -> DataFrame:
+    """MinHash signature per document: one md5-int per shingle, k seeds
+    derived by integer mixing, min per seed. Columns mh0..mh{k-1}.
+    Built-ins only."""
+    return df.join(_minhash_sig_agg(df, text_col, num_hashes, shingle_n), "doc_id")
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", num_hashes: int = 8,
@@ -239,8 +247,15 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", num_hashes: int = 8
     """MinHash+LSH near-dup candidate pairs: band the signature, self-join
     on (band_id, band_hash) buckets — the shuffle is on band buckets, so
     at scale no O(n²) pair materialization happens; only same-bucket
-    pairs meet. Returns (doc_a, doc_b, n_shared_bands)."""
-    sig = minhash_signature(df, text_col, num_hashes)
+    pairs meet. Returns (doc_a, doc_b, n_shared_bands).
+
+    The signature aggregate is consumed by BOTH branches of the band
+    self-join; materializing it once (localCheckpoint) halves the
+    explode→window→md5→groupBy work per action, and skipping the
+    join-back onto the document row (see _minhash_sig_agg) removes a
+    documents scan + join from each branch."""
+    sig = _minhash_sig_agg(df, text_col, num_hashes,
+                           shingle_n=3).localCheckpoint(eager=True)
     n_bands = num_hashes // band_size
     bands = sig.select(
         F.col("doc_id"),
@@ -282,10 +297,14 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", shingle_n: int = 
         "block", F.md5(F.concat_ws(" ", F.slice(toks, 1, block_tokens)))
     )
     # set semantics over the HASHED values (md5-32 collisions merge
-    # identically in the DuckDB oracle, so parity is exact)
+    # identically in the DuckDB oracle, so parity is exact).
+    # Materialized ONCE (localCheckpoint): `ex` feeds three consumers —
+    # the per-doc sizes and both branches of the intersection self-join —
+    # which otherwise each re-run the posexplode→window→md5 pipeline
+    # (3 executions of the most expensive subtree per action).
     ex = exploded_shingle_hashes(
         blocked, text_col, shingle_n, passthrough=["block"]
-    ).dropDuplicates(["doc_id", "h"])
+    ).dropDuplicates(["doc_id", "h"]).localCheckpoint(eager=True)
     sizes = ex.groupBy("doc_id", "block").agg(F.count("*").alias("n"))
     sa, sb = sizes.alias("sa"), sizes.alias("sb")
     pairs = (

@@ -588,14 +588,30 @@ def _run_round_inner(ctx: RoundContext, r: int, visited_total: int) -> dict:
 
     n_base = 3 + (1 if retry_rows is not None else 0) + (1 if rmap is not None else 0)
     n_workers = 1 if os.environ.get("PEGASUS_ROUND_SERIAL") == "1" else n_base
+
+    def _timed(label, fn):
+        # per-branch wall clock (concurrent branches overlap, so these
+        # do NOT sum to the stage lap — they identify the critical path)
+        def run():
+            t0 = time.monotonic()
+            try:
+                return fn()
+            finally:
+                st_t.laps[f"branch:{label}"] = round(
+                    st_t.laps.get(f"branch:{label}", 0.0)
+                    + (time.monotonic() - t0), 3)
+        return run
+
     with ThreadPoolExecutor(max_workers=n_workers) as pool:
-        f_corpus = pool.submit(_do_corpus)
-        f_enq = pool.submit(_do_enqueue)
-        f_hosts = pool.submit(_do_hosts)
-        f_retry = pool.submit(_do_retries) if retry_rows is not None else None
+        f_corpus = pool.submit(_timed("corpus", _do_corpus))
+        f_enq = pool.submit(_timed("enqueue", _do_enqueue))
+        f_hosts = pool.submit(_timed("hosts", _do_hosts))
+        f_retry = (pool.submit(_timed("retries", _do_retries))
+                   if retry_rows is not None else None)
         # only rounds that actually resolved a chain have members to
         # record (rmap None ⇒ nothing to append — skip the empty commit)
-        f_redir = pool.submit(_do_redirects) if rmap is not None else None
+        f_redir = (pool.submit(_timed("redirects", _do_redirects))
+                   if rmap is not None else None)
         bucket_counts = f_corpus.result()
         n_enq, dropped_robots, dropped_seen = f_enq.result()
         f_hosts.result()
