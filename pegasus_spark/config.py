@@ -53,6 +53,26 @@ class CrawlConfig:
     # skew: the fetch/decode stage shuffles on host_bucket, not host
     host_buckets: int = 32
     validate_payloads: bool = True
+    # SIZE-ADAPTIVE physical-plan gates (guide: pick strategy by data
+    # size, not cluster shape — outputs are identical on both sides of
+    # each threshold; only the plan changes). The driver tracks an
+    # approximate frontier row count (floor-safe: resumes seed it with
+    # the visited count, each round adds its enqueued count) and
+    # compares it against these:
+    # - bloom_probe_min_rows: below it, the URL-seen check runs as the
+    #   plain exact anti-join (the frontier key column is ≤ ~tens of MB
+    #   — a cheap broadcast/hash build) and skips the bloom probe's
+    #   extra shuffle + two Arrow stages per round; above it, the bloom
+    #   prefilter pays for itself (at 10^10 rows it is what keeps the
+    #   anti-join's build side off the executors' memory).
+    # - politeness_prune_min_rows: below it, the two-stage politeness
+    #   window skips its stage-1 per-(host,salt) prune — one fewer
+    #   shuffle+sort per round; the prune exists to bound a HOT HOST's
+    #   window partition at 10^9+ pending rows, a regime a small
+    #   frontier cannot be in (selection/schedule provably identical,
+    #   politeness.schedule docstring).
+    bloom_probe_min_rows: int = 5_000_000
+    politeness_prune_min_rows: int = 2_000_000
     # robots acquisition: "preparsed" reads the fixture's pre-fetched
     # rules table (the LMDB-cache-already-warm case); "discover" fetches
     # and parses raw robots.txt per host the first time the host is

@@ -99,6 +99,7 @@ def _make_ctx(spark: SparkSession, cfg: CrawlConfig) -> tuple[RoundContext, Chec
         # the frontier is append-only and dedup-gated, so its url_hash
         # column IS the URL-seen set — no separate seen table to write
         exact_source=lambda: cat.read("frontier"),
+        probe_min_rows=cfg.bloom_probe_min_rows,
     )
     cat.create("robots", ROBOTS_DDL)  # versioned even in preparsed mode
     if cfg.robots_mode == "discover":
@@ -191,6 +192,9 @@ def crawl(spark: SparkSession, cfg: CrawlConfig, resume: bool = False) -> CrawlR
         cat.restore(latest["versions"])
         start_round = latest["round"] + 1
         visited = latest["visited"]
+        # floor-safe frontier-size seed for the size-adaptive plan gates
+        # (frontier rows ≥ visited rows — see RoundContext)
+        ctx.approx_frontier_rows = visited
     else:
         if cfg.seeds is not None:
             seeds_df = spark.createDataFrame(

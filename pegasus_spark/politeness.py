@@ -109,6 +109,7 @@ def schedule(
     round_end: int,
     min_delay_ms: int,
     salt_buckets: int = 32,
+    prune: bool = True,
 ) -> DataFrame:
     """Annotate pending URLs with (rn, delay_ms, fetch_vt, selected).
 
@@ -117,9 +118,21 @@ def schedule(
     host, next_vt. Output has one row per pending row; see the module
     docstring for the two-stage physical shape and the NULL-tail
     contract on non-selectable rows.
+
+    ``prune=False`` skips stage 1 and runs the exact per-host window on
+    EVERY pending row — the size-adaptive fast path for small frontiers,
+    where even the hottest host's full row set is one cheap task and the
+    salt window's extra shuffle+sort is pure overhead. The selected set,
+    fetch_vt schedule and host-clock advancement are identical either
+    way (stage 1 never changes them — module docstring); only the
+    non-selectable tail's rn/fetch_vt annotations differ (exact values
+    instead of the NULL lower-bound marking), which no consumer reads.
     """
     cand = _with_delay(pending, host_state, min_delay_ms)
-    survivors, pruned = _prune_to_horizon(cand, round_start, round_end, salt_buckets)
+    if prune:
+        survivors, pruned = _prune_to_horizon(cand, round_start, round_end, salt_buckets)
+    else:
+        survivors, pruned = cand, cand.limit(0)
     w = Window.partitionBy("host").orderBy(*_RANK_KEY)
     exact = (
         survivors.withColumn("rn", F.row_number().over(w))

@@ -137,6 +137,12 @@ class RoundContext:
         self.gate = gate
         self.crawl_delays = crawl_delays
         self.robots = robots
+        # floor-safe approximate frontier row count (resume seeds it with
+        # the visited count; every enqueue adds its n_new) — drives the
+        # size-adaptive plan gates (config.bloom_probe_min_rows /
+        # politeness_prune_min_rows); an underestimate only delays the
+        # switch to the big-data plan shape, never changes any result
+        self.approx_frontier_rows = 0
 
 
 def enqueue_new(ctx: RoundContext, cand: DataFrame, discovered_round: int) -> tuple[int, int, int]:
@@ -163,7 +169,8 @@ def enqueue_new(ctx: RoundContext, cand: DataFrame, discovered_round: int) -> tu
     )
     obs_n = Observation()
     new = (
-        ctx.seen.filter_new(flagged.filter("allowed").drop("allowed"))
+        ctx.seen.filter_new(flagged.filter("allowed").drop("allowed"),
+                            approx_seen_rows=ctx.approx_frontier_rows)
         .observe(obs_n, F.count(F.lit(1)).alias("n_new"))
         .persist()
     )
@@ -191,6 +198,7 @@ def enqueue_new(ctx: RoundContext, cand: DataFrame, discovered_round: int) -> tu
         F.sum(F.col("allowed").cast("long")).alias("n_allowed")).collect()[0])
     n_uniq, n_allowed = int(cf["n"]), int(cf["n_allowed"] or 0)
     n_new = int(_obs_get(obs_n, lambda: {"n_new": new.count()})["n_new"])
+    ctx.approx_frontier_rows += n_new
     et.lap("obs_counts")
     new.unpersist()
     if ctx.robots is not None:
@@ -314,7 +322,11 @@ def _run_round_inner(ctx: RoundContext, r: int, visited_total: int) -> dict:
     host_state = ctx.cat.read("hosts")
 
     sched = politeness.schedule(
-        pending, host_state, round_start, round_end, cfg.min_delay_ms
+        pending, host_state, round_start, round_end, cfg.min_delay_ms,
+        # stage-1 prune exists to bound a hot host's window partition at
+        # 10^9+ pending rows; below the threshold the exact window alone
+        # is cheaper (identical selection — politeness.schedule docstring)
+        prune=ctx.approx_frontier_rows >= cfg.politeness_prune_min_rows,
     )
     if tb > 0 and ctx.cat.bucket_spec("frontier"):
         # Truncate the B-branch pending lineage NOW. persist() caches

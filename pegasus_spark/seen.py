@@ -68,6 +68,7 @@ class SeenSet:
         k: int = 5,
         overflow_rebuild: int = 4096,
         exact_source=None,
+        probe_min_rows: int = 0,
     ):
         """``exact_source``: optional zero-arg callable returning the
         exact ever-enqueued DataFrame (must carry ``url_hash``). When
@@ -76,13 +77,27 @@ class SeenSet:
         seen set, so the separate ``seen`` table append is skipped: one
         fewer Spark job per round, and at the 10^10 design point one
         fewer 80 GB duplicate table). The bloom table is maintained
-        either way; standalone uses (no source) keep the exact table."""
+        either way; standalone uses (no source) keep the exact table.
+
+        ``probe_min_rows``: size-adaptive probe gate. The bloom probe
+        exists to spare candidates the exact anti-join's build side when
+        the seen set is HUGE (10^10 hashes); while the exact side is
+        small (≤ this many rows ≈ ≤ tens of MB of int64 keys) the
+        anti-join alone is both exact and cheaper than the probe's extra
+        shuffle + two Arrow/Python stages per round. Callers that track
+        an (approximate, floor-safe) seen-set size pass it to
+        ``filter_new``; below the threshold the probe is skipped —
+        maybe_seen=True for every row, the anti-join result is
+        IDENTICAL, only the physical plan changes. 0 (default) never
+        skips. The bloom table is still merged on every ``add`` so the
+        probe is warm the moment the threshold is crossed."""
         self.cat = catalog
         self.n_parts = n_parts
         self.m_bits = m_bits
         self.k = k
         self.overflow_rebuild = overflow_rebuild
         self.exact_source = exact_source
+        self.probe_min_rows = probe_min_rows
         catalog.create("seen", SEEN_DDL)
         catalog.create("bloom", BLOOM_DDL)
 
@@ -140,7 +155,8 @@ class SeenSet:
         )
         return probed.drop("part_id") if added_part else probed
 
-    def filter_new(self, df: DataFrame, col: str = "url_hash") -> DataFrame:
+    def filter_new(self, df: DataFrame, col: str = "url_hash",
+                   approx_seen_rows: int | None = None) -> DataFrame:
         """Exact 'not in seen set' filter: bloom prefilter + ONE anti-join
         whose condition is gated on the bloom verdict (SURVEY.md §2 O4).
 
@@ -149,8 +165,16 @@ class SeenSet:
         definitely-new ∪ checked branches, but keeps every upstream node
         unique in the plan — callers can attach ``observe()`` metrics
         without double-counting, and the probe still prunes the join
-        (rows with maybe_seen=false never probe the hash table)."""
-        probed = self.split_maybe_seen(df, col)
+        (rows with maybe_seen=false never probe the hash table).
+
+        ``approx_seen_rows`` (a floor-safe estimate of the exact set's
+        size) enables the size-adaptive probe gate — see ``__init__``
+        on ``probe_min_rows``. Result rows are identical either way."""
+        if (approx_seen_rows is not None
+                and approx_seen_rows < self.probe_min_rows):
+            probed = df.withColumn("maybe_seen", F.lit(True))
+        else:
+            probed = self.split_maybe_seen(df, col)
         seen = self._exact().select(F.col("url_hash").alias("_seen_hash"))
         cond = F.col("maybe_seen") & (F.col(col) == F.col("_seen_hash"))
         return probed.join(seen, on=cond, how="left_anti").drop("maybe_seen")
