@@ -46,6 +46,9 @@ def stream_crawl(
     if latest is not None:
         state["round"] = latest["round"] + 1
         state["visited"] = latest["visited"]
+        # floor-safe frontier-size seed for the size-adaptive plan gates
+        # (same as crawl.crawl on resume — see RoundContext)
+        ctx.approx_frontier_rows = latest["visited"]
 
     def process_batch(batch_df, batch_id: int):
         inject_seeds(ctx, batch_df.select("url", "priority"))

@@ -57,14 +57,18 @@ def _cc_star(spark, edge_rows, vert_rows=None, **kw):
     return {r["node"]: r["cluster_id"] for r in out.collect()}
 
 
-def test_star_adversarial_chain_beats_propagation_budget(spark):
-    """A 64-vertex path (diameter 63): plain min-propagation needs 63
-    rounds and RAISES under its default 16-round budget; the star
-    alternation contracts it within its default budget — the exact
-    adversarial shape the O(log n) scale path exists for."""
+def test_adversarial_chain_within_log_budget(spark):
+    """A 64-vertex path (diameter 63): pre-r6, plain min-propagation
+    needed 63 rounds and raised under its default 16-round budget. With
+    pointer jumping (L(v) ← min(L(v), L(L(v)), neighbor labels)) the
+    distance-to-root halves per round, so BOTH methods now contract the
+    chain within their default O(log)-sized budgets — and a deliberately
+    tiny budget still fails loudly instead of returning under-merged
+    clusters."""
     edges = [(i, i + 1) for i in range(63)]
+    assert _cc(spark, edges) == {i: 0 for i in range(64)}
     with pytest.raises(RuntimeError, match="did not converge"):
-        _cc(spark, edges)  # default max_iter=16 < diameter
+        _cc(spark, edges, max_iter=3)  # log2(63) ≈ 6 > 3
     got = _cc_star(spark, edges)
     assert got == {i: 0 for i in range(64)}
 
