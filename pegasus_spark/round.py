@@ -187,9 +187,15 @@ def enqueue_new(ctx: RoundContext, cand: DataFrame, discovered_round: int) -> tu
     from concurrent.futures import ThreadPoolExecutor
 
     enq_workers = 1 if os.environ.get("PEGASUS_ROUND_SERIAL") == "1" else 2
+    # below the probe threshold the bloom has no reader: defer the merge
+    # (the frontier append IS the exact-set update; filter_new's probe
+    # path rebuilds the bloom once at the threshold crossing) — the
+    # per-round merge job was ~12% of the headline crawl's wall
+    defer_bloom = ctx.approx_frontier_rows < ctx.cfg.bloom_probe_min_rows
     with ThreadPoolExecutor(max_workers=enq_workers) as pool:
         f_app = pool.submit(ctx.cat.append, "frontier", rows)
-        f_seen = pool.submit(ctx.seen.add, new.select("url_hash"))
+        f_seen = pool.submit(ctx.seen.add, new.select("url_hash"),
+                             defer_bloom=defer_bloom)
         f_app.result()
         f_seen.result()
     et.lap("frontier_append|seen_add")

@@ -89,8 +89,11 @@ class SeenSet:
         ``filter_new``; below the threshold the probe is skipped —
         maybe_seen=True for every row, the anti-join result is
         IDENTICAL, only the physical plan changes. 0 (default) never
-        skips. The bloom table is still merged on every ``add`` so the
-        probe is warm the moment the threshold is crossed."""
+        skips. Callers that skip probes may also pass
+        ``defer_bloom=True`` to ``add`` — the merge job is then skipped
+        too, and the first probing ``filter_new`` detects the gap
+        (bloom item count < exact row count) and rebuilds every
+        partition from the exact set in one executor-side pass."""
         self.cat = catalog
         self.n_parts = n_parts
         self.m_bits = m_bits
@@ -98,6 +101,9 @@ class SeenSet:
         self.overflow_rebuild = overflow_rebuild
         self.exact_source = exact_source
         self.probe_min_rows = probe_min_rows
+        # None = unknown (fresh instance — a prior deferring run may have
+        # left the table behind); True = verified/maintained in sync
+        self._bloom_synced: bool | None = None
         catalog.create("seen", SEEN_DDL)
         catalog.create("bloom", BLOOM_DDL)
 
@@ -174,19 +180,44 @@ class SeenSet:
                 and approx_seen_rows < self.probe_min_rows):
             probed = df.withColumn("maybe_seen", F.lit(True))
         else:
+            # deferred merges (add(defer_bloom=True)) leave the bloom
+            # behind the exact set; bring it up to date BEFORE the first
+            # probe (one-time full rebuild at the threshold crossing)
+            self._ensure_bloom_covers()
             probed = self.split_maybe_seen(df, col)
         seen = self._exact().select(F.col("url_hash").alias("_seen_hash"))
         cond = F.col("maybe_seen") & (F.col(col) == F.col("_seen_hash"))
         return probed.join(seen, on=cond, how="left_anti").drop("maybe_seen")
 
     # ---- update -----------------------------------------------------
-    def add(self, new_hashes: DataFrame, col: str = "url_hash") -> None:
+    def add(self, new_hashes: DataFrame, col: str = "url_hash",
+            defer_bloom: bool = False) -> None:
         """Insert distinct, not-yet-present hashes: append to the exact
         table; OR-merge the blooms per partition executor-side (cogroup
         of new hashes × bloom rows on ``part_id``) and write the merged
         bloom table back from the executors. The driver learns only ONE
         scalar (max overflow bytes, via ``observe`` riding the write) to
-        decide whether any partition needs a rebuild."""
+        decide whether any partition needs a rebuild.
+
+        ``defer_bloom=True`` skips the merge job (the EXACT set is still
+        updated — with ``exact_source`` set this call is then a no-op,
+        since that source table is maintained by the caller). Sound only
+        for callers that probe exclusively through ``filter_new``: its
+        probe path rebuilds a behind bloom from the exact set before the
+        first probe (see ``_ensure_bloom_covers``). Measured rationale:
+        while the seen set is below ``probe_min_rows`` the bloom is
+        never probed, and the per-round merge job was ~12% of the
+        headline crawl's wall — maintenance for a reader that does not
+        exist yet; deferring converts it into one rebuild at the
+        threshold crossing, amortized over the crawl's lifetime."""
+        if defer_bloom:
+            self._bloom_synced = False
+            if self.exact_source is None:
+                self.cat.append(
+                    "seen",
+                    self.with_part_id(new_hashes.select(F.col(col).alias("url_hash"))),
+                )
+            return
         hdf = self.with_part_id(new_hashes.select(F.col(col).alias("url_hash"))).persist()
         if self.exact_source is None:
             self.cat.append("seen", hdf)  # else: the source table IS the exact set
@@ -234,6 +265,58 @@ class SeenSet:
             )
         if max_ovf // 8 > self.overflow_rebuild:
             self._rebuild_overflowed()
+
+    def _ensure_bloom_covers(self) -> None:
+        """Verify the bloom covers the exact set (deferred merges leave
+        it behind); rebuild every partition from the exact set if not.
+
+        Check: Σ n_items over bloom rows vs count(exact). Deferral in
+        the filter_new/add protocol skips exactly the rows it appends,
+        so Σ n_items < exact count ⇔ some hash was never merged (a
+        duplicate standalone add can only INFLATE n_items, and a
+        duplicate's bits are already set — the criterion never
+        under-triggers). Both sides are O(P)-scalar / one count job,
+        paid only while ``_bloom_synced`` is unknown or False — i.e.
+        once per instance plus once per threshold crossing."""
+        if self._bloom_synced:
+            return
+        exact_n = self._exact().count()
+        bloom_n = 0 if self.cat.is_empty("bloom") else int(
+            self.cat.read("bloom").agg(F.sum("n_items").alias("s"))
+            .collect()[0]["s"] or 0)
+        if bloom_n < exact_n:
+            self._rebuild_full()
+        self._bloom_synced = True
+
+    def _rebuild_full(self) -> None:
+        """Rebuild EVERY bloom partition from the exact set in one
+        executor-side grouped-map pass; each partition sizes itself so
+        its capacity covers its row count (same 2× geometric growth as
+        the overflow rebuild — n is known inside the task, so no driver
+        statistics are needed). Empty partitions simply have no row,
+        which the probe already treats as all-new."""
+        k, m_default = self.k, self.m_bits
+
+        def rebuild(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            pid = int(key[0])
+            n = len(pdf)
+            m_bits = m_default
+            while int(m_bits * 0.693 / k) < n:
+                m_bits *= 2
+            hv = pdf["url_hash"].to_numpy(dtype=np.int64)
+            bits = np.zeros(m_bits // 8, dtype=np.uint8)
+            _set_bits(bits, hv, m_bits, k)
+            return pd.DataFrame({
+                "part_id": [pid], "m_bits": [m_bits], "bloom": [bits.tobytes()],
+                "n_items": [n], "overflow": [b""],
+            })
+
+        rebuilt = (
+            self.with_part_id(self._exact())
+            .groupBy("part_id")
+            .applyInPandas(rebuild, schema=BLOOM_DDL)
+        )
+        self.cat.overwrite("bloom", rebuilt)
 
     def _rebuild_overflowed(self) -> None:
         """Partitions whose overflow passed the threshold get a fresh

@@ -117,3 +117,31 @@ def test_incremental_adds_match_bulk(spark, cat, tmp_path):
     got1 = {r["url_hash"] for r in s1.filter_new(_hashes_df(spark, q)).collect()}
     got2 = {r["url_hash"] for r in s2.filter_new(_hashes_df(spark, q)).collect()}
     assert got1 == got2 == set(range(300, 400))
+
+
+def test_deferred_bloom_skip_and_rebuild_at_crossing(spark, cat):
+    """r6 size-adaptive gate: adds below the probe threshold defer the
+    bloom merge; the first probing filter_new detects the gap
+    (Σ n_items < exact count) and rebuilds every partition from the
+    exact set — results identical in both modes, bloom sound after."""
+    s = SeenSet(cat, n_parts=2, probe_min_rows=100)
+    s.add(_hashes_df(spark, range(50)), defer_bloom=True)
+    # skip mode (approx below threshold): plain exact anti-join
+    out = {r["url_hash"]
+           for r in s.filter_new(_hashes_df(spark, range(40, 60)),
+                                 approx_seen_rows=50).collect()}
+    assert out == set(range(50, 60))
+    # the deferred merge left the bloom EMPTY while the exact set has 50
+    # rows — a raw probe now would yield false negatives; the probing
+    # filter_new path must rebuild first and still be exact
+    out = {r["url_hash"]
+           for r in s.filter_new(_hashes_df(spark, range(40, 60)),
+                                 approx_seen_rows=200).collect()}
+    assert out == set(range(50, 60))
+    # bloom soundness restored: every added value probes maybe_seen=True
+    probed = s.split_maybe_seen(_hashes_df(spark, range(50)))
+    assert probed.filter("NOT maybe_seen").count() == 0
+    # and subsequent merged adds keep it in sync (no rebuild needed)
+    s.add(_hashes_df(spark, range(100, 120)))
+    probed = s.split_maybe_seen(_hashes_df(spark, range(100, 120)))
+    assert probed.filter("NOT maybe_seen").count() == 0
