@@ -36,6 +36,7 @@ from .round import (
     REDIRECTS_DDL,
     RETRIES_DDL,
     RoundContext,
+    frontier_exhausts_after,
     inject_seeds,
     run_round,
 )
@@ -219,6 +220,11 @@ def crawl(spark: SparkSession, cfg: CrawlConfig, resume: bool = False) -> CrawlR
             stop_reason, stopped = "exhausted", True
         elif cfg.corpus_size is not None and visited >= cfg.corpus_size:
             stop_reason, stopped = "corpus_size", True
+        elif frontier_exhausts_after(st):
+            # the round's own counts prove the next pending set is empty:
+            # stop now instead of paying a full empty probe round (the
+            # oracle applies the identical rule — see round.py docstring)
+            stop_reason, stopped = "exhausted", True
         elif cfg.stop_check is not None and cfg.stop_check(r, visited, st["exhausted"]):
             stop_reason, stopped = "stop_check", True
         if cfg.update_state is not None:

@@ -260,6 +260,23 @@ class _StepTimer:
         self.t = now
 
 
+def frontier_exhausts_after(st: dict) -> bool:
+    """True when a just-finished round PROVES the next pending set is
+    empty without running it: nothing was deferred past the politeness
+    horizon, nothing awaits a transient retry, and nothing new was
+    enqueued — so every frontier row is visited and the next round would
+    be a pure empty probe (schedule + three empty concurrent writes,
+    ~1.6-2 s of fixed latency at the bench's round sizes). Pure function
+    of the round's committed counts, so stopping here is deterministic
+    and trace-equivalent minus the empty probe round; tests/oracle.py
+    applies the identical rule. Capped rounds are excluded (they skip
+    enqueue by design — the corpus-size stop handles them)."""
+    return (not st.get("capped", False)
+            and st.get("deferred", 0) == 0
+            and st.get("retried", 0) == 0
+            and st.get("enqueued", 0) == 0)
+
+
 def run_round(ctx: RoundContext, r: int, visited_total: int) -> dict:
     """Execute crawl round r (one multi-table transaction — all the
     round's commits publish together). Returns the round's stats dict."""

@@ -22,7 +22,7 @@ from pyspark.sql import SparkSession
 
 from ..config import CrawlConfig
 from ..crawl import TABLES, _make_ctx
-from ..round import inject_seeds, run_round
+from ..round import frontier_exhausts_after, inject_seeds, run_round
 
 
 def stream_crawl(
@@ -64,7 +64,10 @@ def stream_crawl(
                 "stopped": False, "reason": None,
                 "stats": {k: v for k, v in st.items() if k != "round"},
             })
-            if st["exhausted"]:
+            if st["exhausted"] or frontier_exhausts_after(st):
+                # the second arm stops without paying the empty probe
+                # round (same rule as crawl.crawl); a later seed batch
+                # simply continues from this round number
                 break
 
     stream = (

@@ -279,4 +279,12 @@ def simulate(
         if corpus_size is not None and len(res.visited) >= corpus_size:
             res.stop_reason = "corpus_size"
             return res
+        if (not capped and n_pending - len(selected) == 0
+                and n_retried == 0 and n_enq == 0):
+            # early exhaustion (mirrors round.frontier_exhausts_after):
+            # nothing deferred, nothing retrying, nothing enqueued — the
+            # next pending set is provably empty; stop without the empty
+            # probe round (and without its all-zero metrics row)
+            res.stop_reason = "exhausted"
+            return res
     return res

@@ -111,8 +111,14 @@ def _run_engine(spark, web_dir, job_dir, corpus_size, **cfg_kw):
 # oracle): perf work on the round dataflow cannot silently change crawl
 # semantics without failing this loudly. Matches the 'exhaustion'
 # scenario (seed=7, 300 pages, 20 hosts, fanout 2.0, 5 seeds).
-_GOLDEN_FETCH_VECTOR = [5, 17, 33, 37, 32, 25, 25, 24, 16, 17, 11, 10, 2, 0]
-_GOLDEN_ENQ_VECTOR = [17, 37, 50, 40, 26, 22, 21, 13, 12, 5, 4, 2, 0, 0]
+# r6 pin move (one commit with the early-exhaustion change): the crawl
+# now stops the moment a round's counts prove the next pending set
+# empty (deferred==retried==enqueued==0 — round.frontier_exhausts_after,
+# mirrored in tests/oracle.py), so the trailing all-zero probe round the
+# r2-r5 vectors ended with no longer runs. Every fetched/enqueued count
+# before it is byte-identical to the old literals.
+_GOLDEN_FETCH_VECTOR = [5, 17, 33, 37, 32, 25, 25, 24, 16, 17, 11, 10, 2]
+_GOLDEN_ENQ_VECTOR = [17, 37, 50, 40, 26, 22, 21, 13, 12, 5, 4, 2, 0]
 
 
 def test_golden_trace_regression(spark):
