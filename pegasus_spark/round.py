@@ -351,7 +351,7 @@ def _run_round_inner(ctx: RoundContext, r: int, visited_total: int) -> dict:
         # is cheaper (identical selection — politeness.schedule docstring)
         prune=ctx.approx_frontier_rows >= cfg.politeness_prune_min_rows,
     )
-    if tb > 0 and ctx.cat.bucket_spec("frontier"):
+    if tb > 0 and ctx.cat.bucket_spec("frontier") and cfg.corpus_size is not None:
         # Truncate the B-branch pending lineage NOW. persist() caches
         # data but NOT the logical plan: every downstream consumer (the
         # B fetch-join slices, the B extract slices, each redirect hop)
@@ -361,8 +361,9 @@ def _run_round_inner(ctx: RoundContext, r: int, visited_total: int) -> dict:
         # a 4 GB driver on a 120-page toy crawl. localCheckpoint roots
         # the selection (round-bounded, ≤ hosts·budget rows) as a
         # LogicalRDD, making every consumer's plan O(1) in B and R.
+        # Only needed on the persist (corpus_size) path: the unbounded
+        # path below checkpoints sched for EVERY layout.
         sched = sched.localCheckpoint(eager=True)
-    obs_s = None
     if cfg.corpus_size is not None:
         # truncation needs the selected count BEFORE the fetch runs →
         # one dedicated count job on this path only
@@ -373,14 +374,26 @@ def _run_round_inner(ctx: RoundContext, r: int, visited_total: int) -> dict:
         ).collect()[0]
         n_pending, n_sel = int(cnt["n"]), int(cnt["n_sel"] or 0)
     else:
-        # unbounded crawl: the counts ride the corpus-append job
+        # unbounded crawl: materialize the schedule ONCE as a
+        # LogicalRDD with the counts riding the materialization.
+        # persist() used to defer this to whichever concurrent branch
+        # won the cache race — the two losers stalled on the cache lock
+        # while every branch still planned/compiled against the full
+        # frontier-scan→anti-join→window subtree. The eager checkpoint
+        # costs the same one computation, but all three branches then
+        # plan against a flat, stats-free root (smaller plans, no lock
+        # convoy) and the counts are known BEFORE the branch fan-out —
+        # so an exhausted frontier exits before launching empty writes.
         obs_s = Observation()
         sched = sched.observe(
             obs_s,
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("selected").cast("long")).alias("n_sel"),
-        ).persist()
-        n_pending = n_sel = -1  # resolved after the append
+        ).localCheckpoint(eager=True)
+        cs = _obs_get(obs_s, lambda: sched.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("selected").cast("long")).alias("n_sel")).collect()[0])
+        n_pending, n_sel = int(cs["n"]), int(cs["n_sel"] or 0)
     st_t.lap("schedule+counts")
     if n_pending == 0:
         sched.unpersist()
@@ -653,23 +666,6 @@ def _run_round_inner(ctx: RoundContext, r: int, visited_total: int) -> dict:
         n_retried = f_retry.result() if f_retry is not None else 0
         if f_redir is not None:
             f_redir.result()
-    if obs_s is not None:
-        cs = _obs_get(obs_s, lambda: sched.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("selected").cast("long")).alias("n_sel")).collect()[0])
-        n_pending, n_sel = int(cs["n"]), int(cs["n_sel"] or 0)
-        if n_pending == 0:
-            # exhausted, discovered only after the (empty) writes ran —
-            # the concurrent branches did no data work, their empty
-            # commits publish with the txn and are harmless
-            sched.unpersist()
-            if mapping is not None:
-                mapping.unpersist()
-            wall_ms = int((time.monotonic() - t_start) * 1000)
-            ctx.cat.append_local("metrics", _metrics_table([(r, -1, 0, 0, 0, 0, 0, 0, wall_ms)]))
-            return {"round": r, "fetched": 0, "enqueued": 0, "dropped_seen": 0,
-                    "dropped_robots": 0, "deferred": 0, "retried": 0, "exhausted": True,
-                    "capped": False, "wall_ms": wall_ms}
     st_t.lap("corpus_append | extract+enqueue | hosts (concurrent)")
 
     # --- metrics: rollup row + per-bucket lineage rows ---
