@@ -309,7 +309,22 @@ def _run_round_inner(ctx: RoundContext, r: int, visited_total: int) -> dict:
         visited_hashes = visited_hashes.unionByName(
             ctx.cat.read("redirects").select("url_hash"))
     tb = cfg.table_bucket_count
-    if tb > 0 and ctx.cat.bucket_spec("frontier"):
+    # SPJ size gate (same counter as the bloom/prune gates): the
+    # bucket-wise anti-join exists so that at 10^10 rows NEITHER
+    # data-sized table is hash-shuffled or globally broadcast — but its
+    # per-round fixed cost (B frontier bucket relations + B visited
+    # slice scans + B broadcast builds, ~2× the plain plan's driver/
+    # scheduling latency at bench scale) buys nothing while the visited
+    # key column is itself a trivial broadcast. Below the threshold the
+    # pending join therefore runs in the PLAIN shape over the bucketed
+    # files (cat.read is layout-transparent); above it the bucket-wise
+    # SPJ form takes over. Identical rows either way; the SPJ plan
+    # shape itself stays pinned by
+    # test_bucketed.py::test_bucketed_crawl_equivalence (which forces
+    # the gate with bloom_probe_min_rows=0).
+    use_spj = (tb > 0 and ctx.cat.bucket_spec("frontier")
+               and ctx.approx_frontier_rows >= cfg.bloom_probe_min_rows)
+    if use_spj:
         # bucket-wise pending anti-join (Iceberg SPJ analogue): frontier
         # and corpus share the bucket(B, url_hash) layout, so the dedup
         # runs as B directory-listed sub-joins — each visited slice

@@ -160,9 +160,29 @@ class ManifestCatalog:
     def read(self, name: str, version: int | None = None) -> DataFrame:
         """Current (or time-travel) snapshot, logical schema only — the
         ``_bucket`` partition column of bucketed tables is stripped, so
-        readers are layout-agnostic."""
-        df = self.read_bucketed(name, version)
-        return df.drop("_bucket") if "_bucket" in df.columns else df
+        readers are layout-agnostic.
+
+        Bucketed tables are read as ONE flat multi-path relation over
+        the per-bucket LEAF directories (which hold plain files —
+        ``partitionBy`` strips the partition column), not via
+        ``read_bucketed``'s per-commit union: the union exists only
+        because multi-root partition DISCOVERY trips
+        CONFLICTING_DIRECTORY_STRUCTURES, and a logical read needs no
+        ``_bucket`` column — one relation keeps bucketed-table reads at
+        plain-table planning cost (an R-branch union per read was the
+        main residual per-round overhead of the bucketed crawl layout)."""
+        m = self._manifest(name, version)
+        if not m.get("bucket_by"):
+            return self.read_bucketed(name, version)
+        dirs = []
+        for d in m["dirs"]:
+            if os.path.isdir(d):
+                dirs.extend(
+                    os.path.join(d, leaf) for leaf in sorted(os.listdir(d))
+                    if leaf.startswith("_bucket="))
+        if not dirs:
+            return self.spark.createDataFrame([], m["schema_ddl"])
+        return self.spark.read.schema(m["schema_ddl"]).parquet(*dirs)
 
     def read_bucketed(self, name: str, version: int | None = None) -> DataFrame:
         """Snapshot INCLUDING the ``_bucket`` partition column (bucketed

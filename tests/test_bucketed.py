@@ -124,9 +124,15 @@ def test_bucketed_crawl_equivalence(spark):
 
         base = run("job_default")
         bdir = bucketize_store(spark, f"{tmp}/web", 4)
+        # bloom_probe_min_rows=0 forces every size-gated plan onto its
+        # big-data shape (bucket-wise SPJ pending anti-join, bloom probe
+        # + per-round merge) so the production plan forms stay exercised
+        # end to end on a tiny fixture — r6's size gates otherwise pick
+        # the small-data shapes here
         bucketed = run("job_bucketed", pages_bucketed_dir=bdir,
                        store_bucket_count=4, table_bucket_count=4,
-                       fetch_broadcast_max=0)
+                       fetch_broadcast_max=0, bloom_probe_min_rows=0,
+                       politeness_prune_min_rows=0)
         assert bucketed[0] == base[0]
         assert bucketed[1] == base[1]
         assert bucketed[2] == base[2]
